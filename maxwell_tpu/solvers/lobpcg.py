@@ -1,0 +1,191 @@
+"""LOBPCG block eigensolver for K x = lambda M x — the flagship solver
+(SURVEY.md §2 C11, §3.3; BASELINE.json configs 2 and 5).
+
+TPU-first design (SURVEY.md §7.4, §7.5):
+- The whole iteration — SpMM, deflation, SVQB basis orthonormalization,
+  3m x 3m Rayleigh-Ritz, convergence flags — is ONE jit-ed
+  `lax.while_loop` with static shapes; host sync only at exit.
+- Basis handling follows Duersch-Shao-Yang's robust LOBPCG: the search basis
+  S = [X, W, P] is M-orthonormalized by SVQB (Gram matrix + small eigh —
+  distributed-friendly: the only cross-device primitive is a psum of an
+  (3m x 3m) Gram), after which Rayleigh-Ritz is an ORDINARY eigh of S^T K S.
+  Rank-deficient basis columns (e.g. the empty P on iteration 0, or collapsed
+  directions near convergence) are masked by SVQB and pushed to the top of
+  the spectrum with a large diagonal shift so they never pollute the wanted
+  smallest eigenvalues. This is more robust in fp32 than CholQR chains
+  (SURVEY.md §7.5 hard part 4).
+- The gradient nullspace (K's lambda=0 cluster) is removed by projecting the
+  initial block and every new search direction with the pencil's
+  GradientProjector (SURVEY.md §7.5 hard part 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxwell_tpu.solvers.operator import Pencil
+from maxwell_tpu.solvers.results import EigenResult
+from maxwell_tpu.solvers.rr import svqb
+
+_DEAD_SHIFT = 1e12  # diagonal shift applied to SVQB-masked columns
+
+
+@partial(jax.jit, static_argnames=("maxiter", "nev"))
+def lobpcg_run(
+    pencil: Pencil,
+    X0: jax.Array,
+    maxiter: int,
+    tol: float,
+    precond=None,
+    nev: int | None = None,
+):
+    """Jit-ed LOBPCG loop. X0: (n_padded, m), already projected off the
+    nullspace (zero-padding invariant holds). Convergence is tested on the
+    first `nev` columns (default: all m). Returns
+    (theta, X, res, iters, res_hist)."""
+    n, m = X0.shape
+    dtype = X0.dtype
+    if nev is None:
+        nev = m
+
+    def K_mm(Z):
+        return pencil.K_mm(Z)
+
+    def M_mm(Z):
+        return pencil.M_mm(Z)
+
+    # initial M-orthonormalization of X
+    X, MX, _, _ = svqb(X0, M_mm(X0))
+    KX = K_mm(X)
+    theta = jnp.sum(X * KX, axis=0)  # Ritz values of orthonormal X
+
+    P = jnp.zeros_like(X)
+    KP = jnp.zeros_like(X)
+    MP = jnp.zeros_like(X)
+
+    res0 = jnp.full((m,), jnp.inf, dtype)
+    hist = jnp.zeros((maxiter,), dtype)
+
+    def residuals(KX, MX, theta, X):
+        R = KX - MX * theta[None, :]
+        scale = jnp.linalg.norm(KX, axis=0) + jnp.abs(theta) * jnp.linalg.norm(
+            MX, axis=0
+        )
+        return R, jnp.linalg.norm(R, axis=0) / jnp.maximum(scale, 1e-30)
+
+    def cond(state):
+        it, X, KX, MX, theta, P, KP, MP, res, hist = state
+        return jnp.logical_and(it < maxiter, jnp.max(res[:nev]) > tol)
+
+    def body(state):
+        it, X, KX, MX, theta, P, KP, MP, res, hist = state
+
+        R, _ = residuals(KX, MX, theta, X)
+        W = precond(R) if precond is not None else R
+        # remove locked/nullspace directions from the correction
+        W = pencil.project(W)
+        W = W - X @ (MX.T @ W)  # cheap X-deflation improves Gram conditioning
+
+        KW = K_mm(W)
+        MW = M_mm(W)
+
+        S = jnp.concatenate([X, W, P], axis=1)  # (n, 3m)
+        KS = jnp.concatenate([KX, KW, KP], axis=1)
+        MS = jnp.concatenate([MX, MW, MP], axis=1)
+
+        # M-orthonormalize the basis (dead columns masked out) and rotate
+        # KS by the same transform — no extra SpMM needed.
+        S, MS, good, T = svqb(S, MS)
+        KS = KS @ T
+
+        A = S.T @ KS
+        A = 0.5 * (A + A.T)
+        A = A + jnp.diag(jnp.where(good, 0.0, _DEAD_SHIFT).astype(dtype))
+        thetaS, C = jnp.linalg.eigh(A)
+        Cx = C[:, :m]  # smallest m Ritz pairs
+        theta_new = thetaS[:m]
+
+        X_new = S @ Cx
+        KX_new = KS @ Cx
+        MX_new = MS @ Cx
+
+        # implicit P: drop the X-block rows of the Ritz rotation
+        Cp = Cx.at[:m, :].set(0.0)
+        P_new = S @ Cp
+        KP_new = KS @ Cp
+        MP_new = MS @ Cp
+
+        _, res_new = residuals(KX_new, MX_new, theta_new, X_new)
+        hist = hist.at[it].set(jnp.max(res_new))
+        return (
+            it + 1,
+            X_new,
+            KX_new,
+            MX_new,
+            theta_new,
+            P_new,
+            KP_new,
+            MP_new,
+            res_new,
+            hist,
+        )
+
+    state = (0, X, KX, MX, theta, P, KP, MP, res0, hist)
+    it, X, KX, MX, theta, P, KP, MP, res, hist = jax.lax.while_loop(
+        cond, body, state
+    )
+    return theta, X, res, it, hist
+
+
+def lobpcg(
+    pencil: Pencil,
+    nev: int = 5,
+    m: int | None = None,
+    maxiter: int = 200,
+    tol: float = 1e-8,
+    key: jax.Array | None = None,
+    precond: Callable | None = None,
+    X0: jax.Array | None = None,
+) -> EigenResult:
+    """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
+
+    m: block size (default nev + max(4, nev//2) guard vectors). Convergence is
+    tested on all m columns; the returned result keeps the first nev.
+    """
+    if m is None:
+        m = nev + max(4, nev // 2)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_pad, n = pencil.n_padded, pencil.n
+    dtype = pencil.K.blocks.dtype
+
+    if X0 is None:
+        X0 = jax.random.normal(key, (n_pad, m), dtype=dtype)
+        X0 = X0.at[n:].set(0.0)
+    X0 = pencil.project(X0)
+
+    if precond is not None:
+        precond = jax.tree_util.Partial(precond)
+
+    theta, X, res, it, hist = lobpcg_run(
+        pencil, X0, maxiter, tol, precond, nev=nev
+    )
+
+    theta = np.asarray(theta)[:nev]
+    history = [
+        {"iter": i, "max_rel_res": float(h)}
+        for i, h in enumerate(np.asarray(hist)[: int(it)])
+    ]
+    return EigenResult(
+        eigenvalues=theta,
+        eigenvectors=np.asarray(X[:n, :nev]),
+        residuals=np.asarray(res)[:nev],
+        iterations=int(it),
+        converged=bool(np.asarray(res)[:nev].max() <= tol),
+        history=history,
+    )

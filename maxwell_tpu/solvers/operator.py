@@ -1,0 +1,114 @@
+"""Operator abstraction consumed by all solvers (SURVEY.md §1: L5 consumes
+L3/L4 through an abstract operator apply — the Epetra/Anasazi-style contract,
+rebuilt as JAX pytrees so one SPMD program serves any device count).
+
+A `Pencil` bundles the stiffness K, mass M, and the gradient-nullspace
+projector as a pytree; solvers receive it as a traced jit argument (its
+arrays are never baked into the compiled program as constants) and call its
+methods, which dispatch to the configured SpMV/SpMM kernel implementation
+("ref" = pure-jnp einsum, "pallas" = maxwell_tpu.kernels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
+from maxwell_tpu.solvers.cg import cg
+from maxwell_tpu.solvers.deflation import GradientProjector
+
+
+def _dispatch_matmat(kernel: str) -> Callable:
+    if kernel == "ref":
+        return bsr_matmat_ref
+    if kernel == "pallas":
+        from maxwell_tpu.kernels.spmm import bsr_matmat_pallas
+
+        return bsr_matmat_pallas
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Pencil:
+    """The matrix pencil (K, M) plus nullspace projector.
+
+    M may be None (standard eigenproblem; mass = identity).
+    proj may be None (no nullspace deflation).
+    kernel: static — which SpMM implementation to use.
+    """
+
+    K: BSRMatrix
+    M: BSRMatrix | None = None
+    proj: GradientProjector | None = None
+    kernel: str = "ref"
+    mass_tol: float = 1e-12
+    mass_iters: int = 300
+
+    def tree_flatten(self):
+        return (self.K, self.M, self.proj), (
+            self.kernel,
+            self.mass_tol,
+            self.mass_iters,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        K, M, proj = children
+        return cls(K=K, M=M, proj=proj, kernel=aux[0], mass_tol=aux[1], mass_iters=aux[2])
+
+    # --- shapes -----------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return self.K.n
+
+    @property
+    def n_padded(self) -> int:
+        return self.K.n_padded
+
+    @property
+    def dtype(self):
+        return self.K.blocks.dtype
+
+    # --- applies (padded in, padded out) ----------------------------------
+    def K_mm(self, X: jax.Array) -> jax.Array:
+        mm = _dispatch_matmat(self.kernel)
+        vec = X.ndim == 1
+        Y = mm(self.K, X[:, None] if vec else X)
+        return Y[:, 0] if vec else Y
+
+    def M_mm(self, X: jax.Array) -> jax.Array:
+        if self.M is None:
+            return X
+        mm = _dispatch_matmat(self.kernel)
+        vec = X.ndim == 1
+        Y = mm(self.M, X[:, None] if vec else X)
+        return Y[:, 0] if vec else Y
+
+    def Minv_mm(self, X: jax.Array) -> jax.Array:
+        """M^-1 X via CG (mass matrices are well-conditioned)."""
+        if self.M is None:
+            return X
+        return cg(self.M_mm, X, tol=self.mass_tol, maxiter=self.mass_iters)
+
+    def project(self, X: jax.Array) -> jax.Array:
+        """M-orthogonal projection off the gradient nullspace (no-op if
+        the pencil has no projector)."""
+        if self.proj is None:
+            return X
+        return self.proj.project(self.M_mm, X)
+
+    # --- host-side constructors ------------------------------------------
+    @staticmethod
+    def from_problem(
+        problem, block: int = 8, kernel: str = "ref", dtype=jnp.float32
+    ) -> "Pencil":
+        """Build from a cavity problem (RectCavity2D / BrickCavity3D)."""
+        K = BSRMatrix.from_csr(problem.K, block=block, dtype=dtype)
+        M = BSRMatrix.from_csr(problem.M, block=block, dtype=dtype)
+        proj = GradientProjector.from_gradient(problem.G, K.n_padded, dtype=dtype)
+        return Pencil(K=K, M=M, proj=proj, kernel=kernel)

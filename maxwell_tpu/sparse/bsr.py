@@ -1,0 +1,181 @@
+"""Tiled BSR ("blocked-ELL") sparse matrix storage for TPU HBM.
+
+TPU-native replacement for the reference's Epetra-style CSR (SURVEY.md §2 C3;
+BASELINE.json: "Epetra-style CSR -> tiled BSR in HBM"). Design rationale
+(SURVEY.md §7.4):
+
+- TPUs have no efficient scalar gather; CSR rank-loops are hostile to the
+  hardware. Dense b x b blocks turn SpMV/SpMM into streams of small matmuls.
+- Each block-row stores a FIXED number S of blocks (ELL padding, "pad don't
+  branch"): values have static shape (n_brows, S, b, b) and block-column
+  indices (n_brows, S) int32. Padding entries point at block-column 0 with
+  all-zero values, so no masking is needed on the compute path.
+- The per-block-row contraction y_r = sum_s B[r,s] @ X[cols[r,s]] is expressed
+  as one (b, S*b) @ (S*b, m) matmul; with b=8, S a multiple of 16, the
+  contraction dimension S*b is a multiple of 128 — exactly MXU-shaped.
+
+The logical dimension n is zero-padded up to n_brows*b. Padded rows/cols are
+all-zero in the values, so vectors whose padding entries are zero stay
+zero-padded under matvec and linear combinations — solvers rely on this
+invariant instead of masking (see maxwell_tpu/solvers/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """Blocked-ELL sparse matrix.
+
+    Attributes:
+      blocks: (n_brows, S, b, b) float array — dense blocks, zero-padded.
+      cols:   (n_brows, S) int32 — block-column index per slot (0 for padding).
+      n:      logical square dimension (rows = cols = n).
+    """
+
+    blocks: jax.Array
+    cols: jax.Array
+    n: int
+
+    # --- pytree plumbing -------------------------------------------------
+    def tree_flatten(self):
+        return (self.blocks, self.cols), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        blocks, cols = children
+        return cls(blocks=blocks, cols=cols, n=aux[0])
+
+    # --- derived shapes --------------------------------------------------
+    @property
+    def b(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def n_brows(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def slots(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def n_padded(self) -> int:
+        return self.n_brows * self.b
+
+    @property
+    def nnz_dense(self) -> int:
+        """Stored (dense-block) entry count — the bandwidth-relevant nnz."""
+        return self.blocks.size
+
+    # --- construction ----------------------------------------------------
+    @staticmethod
+    def from_csr(
+        A: sp.spmatrix,
+        block: int = 8,
+        align_slots: int | None = None,
+        dtype=jnp.float32,
+    ) -> "BSRMatrix":
+        """Convert a scipy sparse matrix to blocked-ELL.
+
+        align_slots: round the slot count S up to this multiple (default:
+        chosen so S*b is a multiple of 128, MXU-aligning the contraction).
+        """
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("square matrices only")
+        b = block
+        n_pad = _round_up(max(n, 1), b)
+        n_brows = n_pad // b
+        if align_slots is None:
+            align_slots = max(128 // b, 1)
+
+        # block structure via scipy BSR (zero-pads to n_pad first)
+        A_pad = sp.csr_matrix((A.data, A.indices, A.indptr), shape=(n, n))
+        A_pad.resize((n_pad, n_pad))
+        Ab = A_pad.tobsr(blocksize=(b, b))
+        Ab.sort_indices()
+        indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
+
+        per_row = np.diff(indptr)
+        S = int(per_row.max()) if per_row.size else 1
+        S = max(_round_up(max(S, 1), align_slots), align_slots)
+
+        blocks = np.zeros((n_brows, S, b, b), dtype=np.dtype(dtype))
+        cols = np.zeros((n_brows, S), dtype=np.int32)
+        for r in range(n_brows):
+            lo, hi = indptr[r], indptr[r + 1]
+            k = hi - lo
+            blocks[r, :k] = data[lo:hi]
+            cols[r, :k] = indices[lo:hi]
+        return BSRMatrix(
+            blocks=jnp.asarray(blocks, dtype=dtype),
+            cols=jnp.asarray(cols),
+            n=n,
+        )
+
+    def to_csr(self) -> sp.csr_matrix:
+        """Round-trip back to scipy CSR (testing)."""
+        b, S, nbr = self.b, self.slots, self.n_brows
+        blocks = np.asarray(self.blocks)
+        cols = np.asarray(self.cols)
+        indptr = np.arange(nbr + 1) * S
+        A = sp.bsr_matrix(
+            (blocks.reshape(-1, b, b), cols.ravel(), indptr),
+            shape=(self.n_padded, self.n_padded),
+        ).tocsr()
+        A.eliminate_zeros()
+        return A[: self.n, : self.n].tocsr()
+
+    # --- vector packing ---------------------------------------------------
+    def pad_vec(self, x: jax.Array) -> jax.Array:
+        """Zero-pad a logical (n,) or (n, m) array to n_padded rows."""
+        pad = self.n_padded - self.n
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    def unpad_vec(self, x: jax.Array) -> jax.Array:
+        return x[: self.n]
+
+
+# ---------------------------------------------------------------------------
+# Reference (pure-jnp) SpMV / SpMM. The Pallas kernels in
+# maxwell_tpu/kernels/ are drop-in replacements validated against these.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def bsr_matmat_ref(A: BSRMatrix, X: jax.Array) -> jax.Array:
+    """Y = A @ X for X of shape (n_padded, m). Pure-jnp blocked-ELL product.
+
+    Gathers X block-rows per slot then contracts with one einsum; XLA lowers
+    the gather to dynamic slices and fuses the contraction onto the MXU.
+    """
+    b = A.b
+    Xb = X.reshape(A.n_brows, b, -1)  # (nbr, b, m)
+    Xg = Xb[A.cols]  # (nbr, S, b, m)
+    # accumulate at (at least) input precision on the MXU
+    acc = jnp.result_type(A.blocks.dtype, X.dtype)
+    Y = jnp.einsum("rsij,rsjm->rim", A.blocks, Xg, preferred_element_type=acc)
+    return Y.reshape(A.n_padded, -1)
+
+
+def bsr_matvec_ref(A: BSRMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for x of shape (n_padded,)."""
+    return bsr_matmat_ref(A, x[:, None])[:, 0]
