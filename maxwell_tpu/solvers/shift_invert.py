@@ -1,0 +1,68 @@
+"""Shift-invert Lanczos for interior eigenmodes near a target frequency
+(SURVEY.md §2 C10, §3.4; BASELINE.json config 3).
+
+Pipeline: factor K - sigma*M ONCE on host (scipy splu — numeric sparse LU;
+the reference-class equivalent of its sparse factorization path), ship the
+factors to the device as level-scheduled triangular solves
+(maxwell_tpu.kernels.tri_solve), then run the standard Lanczos driver on the
+M-self-adjoint operator
+
+    OP x = P (K - sigma M)^-1 M x
+
+whose eigenvalues theta map to lambda = sigma + 1/theta; modes nearest sigma
+converge first (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from maxwell_tpu.kernels.tri_solve import SparseLUDevice
+from maxwell_tpu.solvers.lanczos import lanczos
+from maxwell_tpu.solvers.operator import Pencil
+from maxwell_tpu.solvers.results import EigenResult
+
+
+def _si_apply(pencil: Pencil, lu_dev: SparseLUDevice, x: jax.Array) -> jax.Array:
+    t = pencil.M_mm(x)
+    z = jnp.zeros_like(x)
+    z = z.at[: lu_dev.n].set(lu_dev.solve(t[: lu_dev.n]))
+    return pencil.project(z)
+
+
+def build_shift_invert_op(pencil: Pencil, sigma: float):
+    """Factor K - sigma*M on host; return a Partial device apply."""
+    K = pencil.K.to_csr()
+    M = (
+        pencil.M.to_csr()
+        if pencil.M is not None
+        else sp.eye(K.shape[0], format="csr")
+    )
+    lu = spla.splu((K - sigma * M).tocsc())
+    lu_dev = SparseLUDevice.from_splu(lu)
+    return jax.tree_util.Partial(_si_apply, pencil, lu_dev)
+
+
+def shift_invert_lanczos(
+    pencil: Pencil,
+    sigma: float,
+    nev: int = 5,
+    maxiter: int = 60,
+    tol: float = 1e-8,
+    key: jax.Array | None = None,
+) -> EigenResult:
+    """Find the nev eigenvalues of K x = lambda M x closest to sigma."""
+    apply_op = build_shift_invert_op(pencil, sigma)
+    return lanczos(
+        pencil,
+        nev=nev,
+        maxiter=maxiter,
+        tol=tol,
+        key=key,
+        mode="shift_invert",
+        apply_op=apply_op,
+        sigma=sigma,
+    )
