@@ -1,0 +1,379 @@
+"""Block-row partitioner and the distributed pencil (SURVEY.md §2 C8/C14/C15;
+§3.5 distributed SpMV).
+
+Host side (`partition_problem`): split the blocked-ELL matrices into D
+contiguous block-row shards, compute the uniform halo depth H (max off-shard
+block-row distance referenced by any shard — Epetra-style import lists,
+precomputed as DATA, SURVEY.md §7.4 rule 4), and REMAP each shard's column
+indices into its local buffer layout
+
+    [ own rows (L) | left halo (H) | right halo (H) | zero slot (1) ]
+
+so the device-side SpMM is identical to the single-chip kernel, just fed a
+halo-extended X buffer.
+
+Device side (`DistPencil`, used INSIDE shard_map): halo exchange is two
+`ppermute`s (neighbor-sparse — the context-parallel analog, SURVEY.md §5.7);
+all reductions are `psum` over the row axis (SURVEY.md §2 C7). The nodal
+vectors of the gradient projector are REPLICATED: gather is local, scatter
+finishes with a psum (correct for any D; node-sharding is a later
+optimization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
+from maxwell_tpu.solvers.cg import cg
+from maxwell_tpu.solvers.deflation import GradientProjector
+
+
+def _after(x, dep):
+    """Schedule-order fence: return x, not computable before dep.
+
+    Collectives that are INDEPENDENT in the dataflow graph may execute in
+    different orders on different devices; XLA:CPU's cross-module rendezvous
+    keys collide when that happens (deadlock in the simulated mesh). Chaining
+    every pair of otherwise-independent collectives through this barrier
+    keeps all devices in one deterministic collective order. On TPU the
+    barrier is harmless (XLA already sequences collectives per core).
+    """
+    x, _ = jax.lax.optimization_barrier((x, dep))
+    return x
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistPencil:
+    """Row-sharded pencil. Array leaves are GLOBAL (stacked over shards)
+    outside shard_map and LOCAL inside it; methods are written for the local
+    view. aux fields are static and identical on every shard."""
+
+    K_blocks: jax.Array  # (D*L, S, b, b) / local (L, S, b, b)
+    K_cols: jax.Array  # (D*L, S) int32, locally remapped
+    M_blocks: jax.Array
+    M_cols: jax.Array
+    head: jax.Array  # (D*L*b,) int32 global node ids (ghost = n_nodes)
+    tail: jax.Array
+    weight: jax.Array  # (D*L*b,)
+    D: int
+    L: int  # block rows per shard
+    H: int  # halo depth in block rows (each side)
+    b: int
+    n_nodes: int
+    n: int  # global logical dimension
+    axis: str = "rows"
+    kernel: str = "ref"
+    mass_tol: float = 1e-12
+    mass_iters: int = 300
+    proj_tol: float = 1e-12
+    proj_iters: int = 400
+
+    def tree_flatten(self):
+        children = (
+            self.K_blocks,
+            self.K_cols,
+            self.M_blocks,
+            self.M_cols,
+            self.head,
+            self.tail,
+            self.weight,
+        )
+        aux = (
+            self.D,
+            self.L,
+            self.H,
+            self.b,
+            self.n_nodes,
+            self.n,
+            self.axis,
+            self.kernel,
+            self.mass_tol,
+            self.mass_iters,
+            self.proj_tol,
+            self.proj_iters,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # --- shard_map plumbing ----------------------------------------------
+    def partition_specs(self):
+        """PartitionSpec pytree matching tree_flatten children (row-sharded
+        leading axis everywhere)."""
+        from jax.sharding import PartitionSpec as P
+
+        row = P(self.axis)
+        return DistPencil(
+            K_blocks=row, K_cols=row, M_blocks=row, M_cols=row,
+            head=row, tail=row, weight=row,
+            D=self.D, L=self.L, H=self.H, b=self.b,
+            n_nodes=self.n_nodes, n=self.n, axis=self.axis,
+            kernel=self.kernel, mass_tol=self.mass_tol,
+            mass_iters=self.mass_iters, proj_tol=self.proj_tol,
+            proj_iters=self.proj_iters,
+        )
+
+    # --- local shapes (inside shard_map) ----------------------------------
+    @property
+    def n_local(self) -> int:
+        return self.L * self.b
+
+    # Pencil-protocol aliases so solver loops can treat Dist/single pencils
+    # uniformly (the solver only sees local row counts under shard_map).
+    @property
+    def n_padded(self) -> int:
+        return self.n_local
+
+    @property
+    def dtype(self):
+        return self.K_blocks.dtype
+
+    # --- reductions --------------------------------------------------------
+    def dot_mm(self, A, B):
+        return jax.lax.psum(A.T @ B, self.axis)
+
+    def dot_cols(self, A, B):
+        return jax.lax.psum(jnp.sum(A * B, axis=0), self.axis)
+
+    def dot_vv(self, x, y):
+        return jax.lax.psum(jnp.vdot(x, y), self.axis)
+
+    def reduce_rows(self, v):
+        return jax.lax.psum(v, self.axis)
+
+    def col_norms(self, A):
+        return jnp.sqrt(jnp.maximum(self.dot_cols(A, A), 0.0))
+
+    # --- halo exchange (SURVEY.md §3.5) ------------------------------------
+    def exchange_halos(self, X: jax.Array) -> jax.Array:
+        """X (n_local, m) -> halo-extended buffer ((L+2H+1)*b, m).
+
+        Two neighbor ppermutes over ICI; devices at the chain ends receive
+        zeros (banded matrices never reference past the ends)."""
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        Hb = self.H * self.b
+        Lb = self.L * self.b
+        m = Xl.shape[1]
+        zero = jnp.zeros((self.b, m), Xl.dtype)
+        if Hb == 0:
+            out = jnp.concatenate([Xl, zero], axis=0)
+        elif self.H <= self.L:
+            # fast path: halos reach only the adjacent shard
+            right_perm = [(d, d + 1) for d in range(self.D - 1)]
+            left_perm = [(d + 1, d) for d in range(self.D - 1)]
+            # left halo = previous shard's LAST H block rows
+            left = jax.lax.ppermute(Xl[-Hb:], self.axis, right_perm)
+            # right halo = next shard's FIRST H block rows (fenced after the
+            # left permute — see _after)
+            right = jax.lax.ppermute(
+                _after(Xl[:Hb], left), self.axis, left_perm
+            )
+            out = jnp.concatenate([Xl, left, right, zero], axis=0)
+        else:
+            # deep-halo fallback (halo spans multiple shards, e.g. tiny
+            # test problems): all_gather the vector and slice the window.
+            # Real problems should be RCM-reordered so H <= L.
+            Xg = jax.lax.all_gather(Xl, self.axis, tiled=True, axis=0)
+            Xp = jnp.pad(Xg, ((Hb, Hb), (0, 0)))
+            d = jax.lax.axis_index(self.axis)
+            start = (d * Lb).astype(jnp.int32)
+            win = jax.lax.dynamic_slice(
+                Xp, (start, jnp.int32(0)), (Lb + 2 * Hb, m)
+            )  # = global rows [lo-H, hi+H) with zero fill at the ends
+            left = win[:Hb]
+            right = win[Hb + Lb :]
+            out = jnp.concatenate([Xl, left, right, zero], axis=0)
+        return out[:, 0] if vec else out
+
+    # --- operator applies --------------------------------------------------
+    def _local_mm(self, blocks, cols, X):
+        A = BSRMatrix(blocks=blocks, cols=cols, n=self.n_local)
+        Xf = self.exchange_halos(X)
+        vec = X.ndim == 1
+        if self.kernel == "pallas":
+            from maxwell_tpu.kernels.spmm import bsr_matmat_pallas
+
+            Y = bsr_matmat_pallas(A, Xf[:, None] if vec else Xf)
+        else:
+            Y = bsr_matmat_ref(A, Xf[:, None] if vec else Xf)
+        return Y[:, 0] if vec else Y
+
+    def K_mm(self, X):
+        return self._local_mm(self.K_blocks, self.K_cols, X)
+
+    def M_mm(self, X):
+        return self._local_mm(self.M_blocks, self.M_cols, X)
+
+    def KM_mm(self, X):
+        """(K @ X, M @ X) with the two halo exchanges deterministically
+        ordered (see _after)."""
+        KX = self.K_mm(X)
+        MX = self.M_mm(_after(X, KX))
+        return KX, MX
+
+    def Minv_mm(self, X):
+        return cg(
+            self.M_mm,
+            X,
+            tol=self.mass_tol,
+            maxiter=self.mass_iters,
+            dot=self.dot_cols,
+        )
+
+    # --- gradient projector (replicated node vectors) ----------------------
+    def _g_mm(self, phi):
+        """(n_local, m) <- G phi for replicated phi (n_nodes, m)."""
+        w = self.weight if phi.ndim == 1 else self.weight[:, None]
+        zero = jnp.zeros((1,) + phi.shape[1:], phi.dtype)
+        phi_ext = jnp.concatenate([phi, zero], axis=0)
+        return w * (phi_ext[self.head] - phi_ext[self.tail])
+
+    def _gt_mm(self, y):
+        """(n_nodes, m) <- G^T y, replicated (psum-finished scatter)."""
+        w = self.weight if y.ndim == 1 else self.weight[:, None]
+        wy = w * y
+        shape = (self.n_nodes + 1,) + y.shape[1:]
+        out = jnp.zeros(shape, y.dtype)
+        out = out.at[self.head].add(wy)
+        out = out.at[self.tail].add(-wy)
+        return jax.lax.psum(out[:-1], self.axis)
+
+    def project(self, X):
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        L_mm = lambda phi: self._gt_mm(self.M_mm(self._g_mm(phi)))
+        rhs = self._gt_mm(self.M_mm(Xl))
+        # node vectors are replicated -> plain local dots inside CG
+        q = cg(L_mm, rhs, tol=self.proj_tol, maxiter=self.proj_iters)
+        out = Xl - self._g_mm(q)
+        return out[:, 0] if vec else out
+
+
+def partition_problem(
+    problem,
+    n_shards: int,
+    block: int = 8,
+    kernel: str = "ref",
+    dtype=jnp.float32,
+    axis: str = "rows",
+    reorder: bool = True,
+) -> DistPencil:
+    """Host-side partitioner: problem (RectCavity2D / BrickCavity3D) -> row
+    -sharded DistPencil with remapped local column indices.
+
+    reorder=True applies RCM so halos are shallow (SURVEY.md §2 C15); the
+    permutation is stored on the returned pencil as `.perm` (host-side
+    attribute, not part of the pytree) for eigenvector un-permutation.
+    """
+    perm = None
+    if reorder:
+        from maxwell_tpu.sparse.reorder import PermutedProblem
+
+        problem = PermutedProblem(problem)
+        perm = problem.perm
+    row_tile = max(128 // block, 1)
+    K = BSRMatrix.from_csr(
+        problem.K, block=block, dtype=dtype, row_align=n_shards * row_tile
+    )
+    M = BSRMatrix.from_csr(
+        problem.M, block=block, dtype=dtype, row_align=n_shards * row_tile
+    )
+    if K.n_brows != M.n_brows or K.slots != M.slots:
+        # unify slot counts so both use one halo layout
+        S = max(K.slots, M.slots)
+
+        def widen(A):
+            pad = S - A.slots
+            if pad == 0:
+                return A
+            blocks = jnp.pad(A.blocks, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            cols = jnp.pad(A.cols, ((0, 0), (0, pad)))
+            return BSRMatrix(blocks=blocks, cols=cols, n=A.n)
+
+        K, M = widen(K), widen(M)
+
+    D, b = n_shards, block
+    nbr = K.n_brows
+    L = nbr // D
+
+    K_cols_np = np.asarray(K.cols)
+    M_cols_np = np.asarray(M.cols)
+    K_blocks_np = np.asarray(K.blocks)
+    M_blocks_np = np.asarray(M.blocks)
+
+    # halo depth: max distance of any REAL (nonzero) block from its shard
+    H = 0
+    nz_K = np.abs(K_blocks_np).max(axis=(2, 3)) > 0  # (nbr, S)
+    nz_M = np.abs(M_blocks_np).max(axis=(2, 3)) > 0
+    for d in range(D):
+        lo, hi = d * L, (d + 1) * L
+        for cols_np, nz in ((K_cols_np, nz_K), (M_cols_np, nz_M)):
+            cs = cols_np[lo:hi][nz[lo:hi]]
+            if cs.size:
+                H = max(H, int(max(lo - cs.min(), cs.max() - (hi - 1))))
+    H = max(H, 0)
+
+    # remap columns to the local layout per shard
+    def remap(cols_np, nz):
+        out = np.full_like(cols_np, L + 2 * H)  # default: zero slot
+        for d in range(D):
+            lo, hi = d * L, (d + 1) * L
+            c = cols_np[lo:hi]
+            m_ = nz[lo:hi]
+            local = np.full_like(c, L + 2 * H)
+            own = (c >= lo) & (c < hi)
+            local[own & m_] = (c - lo)[own & m_]
+            lft = (c >= lo - H) & (c < lo)
+            local[lft & m_] = (L + (c - (lo - H)))[lft & m_]
+            rgt = (c >= hi) & (c < hi + H)
+            local[rgt & m_] = (L + H + (c - hi))[rgt & m_]
+            bad = m_ & ~(own | lft | rgt)
+            if bad.any():
+                raise AssertionError("halo depth miscomputed")
+            out[lo:hi] = local
+        return out
+
+    K_cols_local = remap(K_cols_np, nz_K)
+    M_cols_local = remap(M_cols_np, nz_M)
+
+    # per-edge projector data, sharded by row: global ids padded to nbr*b
+    proj = GradientProjector.from_gradient(problem.G, nbr * b, dtype=dtype)
+    n = problem.K.shape[0]
+    n_nodes = proj.n_nodes
+    head = np.full(nbr * b, n_nodes, dtype=np.int32)
+    tail = np.full(nbr * b, n_nodes, dtype=np.int32)
+    weight = np.zeros(nbr * b, dtype=np.dtype(dtype))
+    head[:n] = np.asarray(proj.head)
+    tail[:n] = np.asarray(proj.tail)
+    weight[:n] = np.asarray(proj.weight)
+
+    dp = DistPencil(
+        K_blocks=jnp.asarray(K_blocks_np, dtype=dtype),
+        K_cols=jnp.asarray(K_cols_local),
+        M_blocks=jnp.asarray(M_blocks_np, dtype=dtype),
+        M_cols=jnp.asarray(M_cols_local),
+        head=jnp.asarray(head),
+        tail=jnp.asarray(tail),
+        weight=jnp.asarray(weight),
+        D=D,
+        L=L,
+        H=H,
+        b=b,
+        n_nodes=n_nodes,
+        n=n,
+        axis=axis,
+        kernel=kernel,
+    )
+    # host-side metadata (survives on this instance only, not through pytree
+    # transforms — used by drivers to un-permute returned eigenvectors)
+    object.__setattr__(dp, "perm", perm)
+    return dp

@@ -1,0 +1,108 @@
+"""Pallas blocked-ELL SpMM/SpMV kernel (SURVEY.md §2 C4/C5; BASELINE.json:
+"SpMV/SpMM (MPI rank loops -> Pallas kernels)").
+
+Layout recap (maxwell_tpu/sparse/bsr.py): blocks (nbr, S, b, b), cols
+(nbr, S) int32, padding slots point at block-column 0 with zero values.
+
+Kernel strategy (v1, single chip):
+- Grid over tiles of R block-rows (R*b = 128 scalar rows per tile — one MXU
+  sublane panel). The (R, S, b, b) value tile streams HBM->VMEM through the
+  standard pallas_call pipeline (double-buffered by the compiler), which is
+  the dominant HBM traffic — exactly the stream a speed-of-light SpMV must
+  saturate.
+- X is held ENTIRELY in VMEM for the duration of the kernel (BlockSpec with
+  no blocking). The per-slot gather X[cols[r, s]] becomes R static-unrolled
+  dynamic slices from VMEM per slot — VMEM-local, off the HBM critical path.
+  Constraint: X must fit in VMEM (n_padded * m * 4 bytes <~ 12 MB); callers
+  fall back to the XLA einsum path otherwise (bsr_matmat dispatches).
+- Per slot s, the R gathered (b, m) panels contract with the (R, b, b)
+  value panel as one batched einsum -> MXU.
+
+cols rides in VMEM as an (R, S) int32 tile; scalar reads from VMEM feed the
+dynamic slice starts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
+
+# X larger than this falls back to the XLA einsum path (VMEM is ~16 MB/core;
+# leave room for the value tile double-buffer and the output tile).
+_VMEM_X_BUDGET = 12 * 1024 * 1024
+
+
+def _spmm_kernel(cols_ref, blocks_ref, x_ref, o_ref, *, R, S, b, m):
+    acc = jnp.zeros((R, b, m), jnp.float32)
+    for s in range(S):
+        panels = []
+        for r in range(R):
+            c = cols_ref[r, s]
+            panels.append(x_ref[pl.ds(c * b, b), :])
+        xg = jnp.stack(panels)  # (R, b, m)
+        acc = acc + jnp.einsum(
+            "rij,rjm->rim",
+            blocks_ref[:, s],
+            xg,
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = acc.reshape(R * b, m).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_matmat_pallas(
+    A: BSRMatrix, X: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Y = A @ X via the Pallas kernel. X: (n_padded, m), f32.
+
+    Falls back to the einsum path when X exceeds the VMEM budget or dtypes
+    are not f32 (f64 runs use the reference path; TPU is f32-first).
+    """
+    n_pad, m = A.n_padded, X.shape[1]
+    if (
+        X.dtype != jnp.float32
+        or A.blocks.dtype != jnp.float32
+        or X.shape[0] * m * 4 > _VMEM_X_BUDGET
+    ):
+        return bsr_matmat_ref(A, X)
+
+    b, S, nbr = A.b, A.slots, A.n_brows
+    R = max(128 // b, 1)
+    # pad block-rows up to a multiple of R (host-side constructors already
+    # align n_brows; this is a safety net for odd sizes)
+    if nbr % R != 0:
+        return bsr_matmat_ref(A, X)
+    n_tiles = nbr // R
+
+    kernel = functools.partial(_spmm_kernel, R=R, S=S, b=b, m=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (R, S), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),  # cols tile
+            pl.BlockSpec(
+                (R, S, b, b), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),  # value tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full X resident in VMEM
+        ],
+        out_specs=pl.BlockSpec(
+            (R * b, m), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(A.cols, A.blocks, X)
+
+
+def bsr_matvec_pallas(A: BSRMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x. The vector is widened to an (n, 8) panel so the kernel's
+    lane dimension stays MXU/VPU-aligned; column 0 carries the data."""
+    X = jnp.zeros((A.n_padded, 8), jnp.float32).at[:, 0].set(x)
+    return bsr_matmat_pallas(A, X)[:, 0]

@@ -1,0 +1,112 @@
+"""Distributed solver drivers: the SAME lobpcg_run / lanczos_factorization
+loops, shard_mapped over a row mesh (SURVEY.md §2 C9/C11 "jit-ed shard_map
+solver loop"; BASELINE.json configs 4 and 5).
+
+The DistPencil supplies psum-ing reductions and ppermute halo exchange, so
+no solver code changes — device count really is a mesh property
+(SURVEY.md §7.4 rule 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from maxwell_tpu.dist.partition import DistPencil
+from maxwell_tpu.solvers.lobpcg import lobpcg_run
+from maxwell_tpu.solvers.precond import _precond_apply
+from maxwell_tpu.solvers.results import EigenResult
+
+
+def _run_local(pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters):
+    """Body executed per shard: project the start block, build the local
+    preconditioner, run the shared LOBPCG loop."""
+    X0 = pencil.project(X0)
+    precond = None
+    if precond_alpha is not None:
+        precond = jax.tree_util.Partial(
+            _precond_apply, pencil, precond_alpha, precond_iters
+        )
+    return lobpcg_run(pencil, X0, maxiter, tol, precond, nev=nev)
+
+
+def lobpcg_dist(
+    dpencil: DistPencil,
+    mesh,
+    nev: int = 5,
+    m: int | None = None,
+    maxiter: int = 200,
+    tol: float = 1e-8,
+    key: jax.Array | None = None,
+    precond_alpha: float | None = None,
+    precond_iters: int = 20,
+) -> EigenResult:
+    """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
+    with gathered eigenvectors."""
+    if m is None:
+        m = nev + max(4, nev // 2)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    axis = dpencil.axis
+    n_pad_g = dpencil.D * dpencil.L * dpencil.b
+    X0 = jax.random.normal(key, (n_pad_g, m), dtype=dpencil.dtype)
+    X0 = X0.at[dpencil.n :].set(0.0)
+
+    run = functools.partial(
+        _run_local,
+        maxiter=maxiter,
+        tol=tol,
+        nev=nev,
+        precond_alpha=precond_alpha,
+        precond_iters=precond_iters,
+    )
+    mapped = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(dpencil.partition_specs(), P(axis, None)),
+        out_specs=(P(), P(axis, None), P(), P(), P()),
+        check_vma=False,
+    )
+    theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0)
+
+    theta = np.asarray(theta)[:nev]
+    res = np.asarray(res)[:nev]
+    history = [
+        {"iter": i, "max_rel_res": float(h)}
+        for i, h in enumerate(np.asarray(hist)[: int(it)])
+    ]
+    vecs = np.asarray(X[: dpencil.n, :nev])
+    perm = getattr(dpencil, "perm", None)
+    if perm is not None:
+        from maxwell_tpu.sparse.reorder import unpermute_rows
+
+        vecs = unpermute_rows(vecs, perm)
+    return EigenResult(
+        eigenvalues=theta,
+        eigenvectors=vecs,
+        residuals=res,
+        iterations=int(it),
+        converged=bool(res.max() <= tol),
+        history=history,
+    )
+
+
+def spmm_dist(dpencil: DistPencil, mesh, X: jax.Array, which: str = "K"):
+    """Sharded Y = K @ X (or M @ X) for parity testing: X global (n_pad, m)."""
+    axis = dpencil.axis
+
+    def body(p, Xl):
+        return p.K_mm(Xl) if which == "K" else p.M_mm(Xl)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dpencil.partition_specs(), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(dpencil, X)

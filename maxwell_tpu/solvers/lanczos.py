@@ -45,20 +45,22 @@ def _project_apply(pencil: Pencil, x: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("maxiter",))
 def lanczos_factorization(
     apply_op: Callable,
-    M_mm: Callable,
+    pencil: Pencil,
     v0: jax.Array,
     maxiter: int,
     post: Callable | None = None,
 ):
     """Run `maxiter` Lanczos steps in the M-inner product.
 
-    apply_op / M_mm: `jax.tree_util.Partial` closures (pytree args, so the
-    operator's matrices are traced, not baked in as compile-time constants).
-    Returns (alphas (k,), betas (k,), V (k+1, n), MV (k+1, n)).
-    V rows are M-orthonormal; T = tridiag(betas[:-1], alphas) is the
-    projected operator. Full two-pass reorthogonalization each step.
+    apply_op: `jax.tree_util.Partial` closure (pytree arg, so the operator's
+    matrices are traced, not baked in as compile-time constants). The pencil
+    supplies M applies and the cross-row reductions (psum-ing variants in the
+    distributed pencil). Returns (alphas (k,), betas (k,), V (k+1, n),
+    MV (k+1, n)). V rows are M-orthonormal; T = tridiag(betas[:-1], alphas)
+    is the projected operator. Full two-pass reorthogonalization each step.
     """
-    dot = lambda x, y: jnp.vdot(x, y)
+    M_mm = pencil.M_mm
+    dot = pencil.dot_vv
     n = v0.shape[0]
     k = maxiter
 
@@ -82,7 +84,8 @@ def lanczos_factorization(
         # two-pass full reorthogonalization against all basis vectors so far
         # (mask columns > j); MV rows are zero there so masking is free.
         def reorth(w):
-            coeffs = MV @ w  # (k+1,) — rows > j are zero vectors
+            # (k+1,) partial contraction over local rows; rows > j are zero
+            coeffs = pencil.reduce_rows(MV @ w)
             return w - V.T @ coeffs
 
         w = reorth(reorth(w))
@@ -134,14 +137,13 @@ def lanczos(
             raise ValueError("supply apply_op for non-direct modes")
         apply_op = jax.tree_util.Partial(_direct_apply, pencil)
 
-    M_mm = jax.tree_util.Partial(_mass_apply, pencil)
     post = (
         jax.tree_util.Partial(_project_apply, pencil)
         if pencil.proj is not None
         else None
     )
     alphas, betas, V, MV = lanczos_factorization(
-        apply_op, M_mm, v0, maxiter, post
+        apply_op, pencil, v0, maxiter, post
     )
     a = np.asarray(alphas, dtype=np.float64)
     b = np.asarray(betas, dtype=np.float64)
@@ -195,10 +197,8 @@ def lanczos(
     MX = pencil.M_mm(X)
     lam_d = jnp.asarray(lams, dtype=pencil.dtype)
     R = KX - MX * lam_d[None, :]
-    scale = jnp.linalg.norm(KX, axis=0) + jnp.abs(lam_d) * jnp.linalg.norm(
-        MX, axis=0
-    )
-    res = np.asarray(jnp.linalg.norm(R, axis=0) / jnp.maximum(scale, 1e-30))
+    scale = pencil.col_norms(KX) + jnp.abs(lam_d) * pencil.col_norms(MX)
+    res = np.asarray(pencil.col_norms(R) / jnp.maximum(scale, 1e-30))
 
     return EigenResult(
         eigenvalues=np.asarray(lams),

@@ -59,10 +59,12 @@ def lobpcg_run(
     def M_mm(Z):
         return pencil.M_mm(Z)
 
+    dot_mm = pencil.dot_mm
+
     # initial M-orthonormalization of X
-    X, MX, _, _ = svqb(X0, M_mm(X0))
+    X, MX, _, _ = svqb(X0, M_mm(X0), dot_mm=dot_mm)
     KX = K_mm(X)
-    theta = jnp.sum(X * KX, axis=0)  # Ritz values of orthonormal X
+    theta = pencil.dot_cols(X, KX)  # Ritz values of orthonormal X
 
     P = jnp.zeros_like(X)
     KP = jnp.zeros_like(X)
@@ -73,10 +75,17 @@ def lobpcg_run(
 
     def residuals(KX, MX, theta, X):
         R = KX - MX * theta[None, :]
-        scale = jnp.linalg.norm(KX, axis=0) + jnp.abs(theta) * jnp.linalg.norm(
-            MX, axis=0
+        # one fused psum for all three norms (deterministic collective order)
+        loc = jnp.stack(
+            [
+                jnp.sum(KX * KX, axis=0),
+                jnp.sum(MX * MX, axis=0),
+                jnp.sum(R * R, axis=0),
+            ]
         )
-        return R, jnp.linalg.norm(R, axis=0) / jnp.maximum(scale, 1e-30)
+        nKX, nMX, nR = jnp.sqrt(jnp.maximum(pencil.reduce_rows(loc), 0.0))
+        scale = nKX + jnp.abs(theta) * nMX
+        return R, nR / jnp.maximum(scale, 1e-30)
 
     def cond(state):
         it, X, KX, MX, theta, P, KP, MP, res, hist = state
@@ -89,10 +98,9 @@ def lobpcg_run(
         W = precond(R) if precond is not None else R
         # remove locked/nullspace directions from the correction
         W = pencil.project(W)
-        W = W - X @ (MX.T @ W)  # cheap X-deflation improves Gram conditioning
+        W = W - X @ dot_mm(MX, W)  # cheap X-deflation improves Gram conditioning
 
-        KW = K_mm(W)
-        MW = M_mm(W)
+        KW, MW = pencil.KM_mm(W)
 
         S = jnp.concatenate([X, W, P], axis=1)  # (n, 3m)
         KS = jnp.concatenate([KX, KW, KP], axis=1)
@@ -100,10 +108,10 @@ def lobpcg_run(
 
         # M-orthonormalize the basis (dead columns masked out) and rotate
         # KS by the same transform — no extra SpMM needed.
-        S, MS, good, T = svqb(S, MS)
+        S, MS, good, T = svqb(S, MS, dot_mm=dot_mm)
         KS = KS @ T
 
-        A = S.T @ KS
+        A = dot_mm(S, KS)
         A = 0.5 * (A + A.T)
         A = A + jnp.diag(jnp.where(good, 0.0, _DEAD_SHIFT).astype(dtype))
         thetaS, C = jnp.linalg.eigh(A)

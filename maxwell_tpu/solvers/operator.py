@@ -74,6 +74,27 @@ class Pencil:
     def dtype(self):
         return self.K.blocks.dtype
 
+    # --- reductions (overridden with psum variants by DistPencil) ---------
+    def dot_mm(self, A: jax.Array, B: jax.Array) -> jax.Array:
+        """(m, k) <- A^T B over the row axis — THE cross-device reduction
+        of Gram/RR matrices (psum over ICI in the distributed pencil,
+        SURVEY.md §2 C7)."""
+        return A.T @ B
+
+    def dot_cols(self, A: jax.Array, B: jax.Array) -> jax.Array:
+        """(m,) <- column-wise inner products."""
+        return jnp.sum(A * B, axis=0)
+
+    def dot_vv(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        return jnp.vdot(x, y)
+
+    def reduce_rows(self, v: jax.Array) -> jax.Array:
+        """Finish a partial row-contraction (identity on one device)."""
+        return v
+
+    def col_norms(self, A: jax.Array) -> jax.Array:
+        return jnp.sqrt(jnp.maximum(self.dot_cols(A, A), 0.0))
+
     # --- applies (padded in, padded out) ----------------------------------
     def K_mm(self, X: jax.Array) -> jax.Array:
         mm = _dispatch_matmat(self.kernel)
@@ -89,11 +110,21 @@ class Pencil:
         Y = mm(self.M, X[:, None] if vec else X)
         return Y[:, 0] if vec else Y
 
+    def KM_mm(self, X: jax.Array):
+        """(K @ X, M @ X); DistPencil overrides with collective fencing."""
+        return self.K_mm(X), self.M_mm(X)
+
     def Minv_mm(self, X: jax.Array) -> jax.Array:
         """M^-1 X via CG (mass matrices are well-conditioned)."""
         if self.M is None:
             return X
-        return cg(self.M_mm, X, tol=self.mass_tol, maxiter=self.mass_iters)
+        return cg(
+            self.M_mm,
+            X,
+            tol=self.mass_tol,
+            maxiter=self.mass_iters,
+            dot=self.dot_cols,
+        )
 
     def project(self, X: jax.Array) -> jax.Array:
         """M-orthogonal projection off the gradient nullspace (no-op if

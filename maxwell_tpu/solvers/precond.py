@@ -21,14 +21,16 @@ from maxwell_tpu.solvers.operator import Pencil
 
 
 def _shifted_apply(pencil: Pencil, alpha, Z):
-    return pencil.K_mm(Z) + alpha * pencil.M_mm(Z)
+    KZ, MZ = pencil.KM_mm(Z)  # deterministically-ordered collective pair
+    return KZ + alpha * MZ
 
 
 def _precond_apply(pencil: Pencil, alpha, iters: int, R: jax.Array):
     A_mm = jax.tree_util.Partial(_shifted_apply, pencil, alpha)
     # fixed sweep: tol=0 disables the early exit so the operator is the same
-    # polynomial in (K + alpha M) at every outer iteration
-    return cg(A_mm, R, tol=0.0, maxiter=iters)
+    # polynomial in (K + alpha M) at every outer iteration. Dots must be the
+    # pencil's (psum-ing under shard_map — row-sharded vectors).
+    return cg(A_mm, R, tol=0.0, maxiter=iters, dot=pencil.dot_cols)
 
 
 def shifted_cg_preconditioner(

@@ -88,11 +88,15 @@ class BSRMatrix:
         block: int = 8,
         align_slots: int | None = None,
         dtype=jnp.float32,
+        row_align: int = 1,
     ) -> "BSRMatrix":
         """Convert a scipy sparse matrix to blocked-ELL.
 
         align_slots: round the slot count S up to this multiple (default:
         chosen so S*b is a multiple of 128, MXU-aligning the contraction).
+        row_align: round the block-row count up to this multiple (e.g.
+        n_shards * 16 so the matrix splits evenly into Pallas-tileable
+        shards — SURVEY.md §2 C15).
         """
         A = sp.csr_matrix(A)
         n = A.shape[0]
@@ -100,7 +104,8 @@ class BSRMatrix:
             raise ValueError("square matrices only")
         b = block
         n_pad = _round_up(max(n, 1), b)
-        n_brows = n_pad // b
+        n_brows = _round_up(n_pad // b, row_align)
+        n_pad = n_brows * b
         if align_slots is None:
             align_slots = max(128 // b, 1)
 
@@ -168,7 +173,9 @@ def bsr_matmat_ref(A: BSRMatrix, X: jax.Array) -> jax.Array:
     the gather to dynamic slices and fuses the contraction onto the MXU.
     """
     b = A.b
-    Xb = X.reshape(A.n_brows, b, -1)  # (nbr, b, m)
+    # X may be TALLER than A's row space (halo-extended local buffers in the
+    # distributed pencil); cols index into X's block rows.
+    Xb = X.reshape(-1, b, X.shape[-1])  # (x_brows, b, m)
     Xg = Xb[A.cols]  # (nbr, S, b, m)
     # accumulate at (at least) input precision on the MXU
     acc = jnp.result_type(A.blocks.dtype, X.dtype)

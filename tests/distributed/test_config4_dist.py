@@ -1,0 +1,91 @@
+"""BASELINE.json config 4: 3D Nedelec cavity, row-partitioned SpMV with halo
+exchange on a (simulated 8-device) mesh — sharded-vs-single parity and full
+distributed eigensolve (SURVEY.md §4 distributed tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from maxwell_tpu.dist import make_mesh, partition_problem
+from maxwell_tpu.problems import BrickCavity3D, RectCavity2D
+from maxwell_tpu.solvers import Pencil
+from maxwell_tpu.solvers.dist_solve import lobpcg_dist, spmm_dist
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def cav3d():
+    return BrickCavity3D(nx=6, ny=6, nz=6)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= D, "conftest must force 8 CPU devices"
+    return make_mesh(D)
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_sharded_spmm_parity(cav3d, mesh, reorder):
+    """Row-partitioned SpMM with halo exchange == single-device SpMM.
+
+    reorder=False exercises the deep-halo all_gather fallback (raw edge
+    numbering has near-full bandwidth on this tiny grid); reorder=True
+    exercises the RCM + neighbor-ppermute fast path."""
+    dp = partition_problem(cav3d, D, block=8, dtype=jnp.float64, reorder=reorder)
+    single = Pencil.from_problem(cav3d, block=8, dtype=jnp.float64)
+    n = cav3d.n_edges
+    key = jax.random.PRNGKey(0)
+    n_pad_g = dp.D * dp.L * dp.b
+    X = jax.random.normal(key, (n_pad_g, 4), dtype=jnp.float64)
+    X = X.at[n:].set(0.0)
+
+    # single-device oracle works in the ORIGINAL ordering
+    perm = dp.perm if reorder else np.arange(n)
+    Xs_np = np.zeros((single.n_padded, 4))
+    Xs_np[perm] = np.asarray(X[:n])  # X rows are in permuted ordering
+    Y_single = np.asarray(single.K_mm(jnp.asarray(Xs_np)))[:n]
+    Y_dist = np.asarray(spmm_dist(dp, mesh, X, which="K"))[:n]
+    np.testing.assert_allclose(Y_dist, Y_single[perm], rtol=1e-12, atol=1e-12)
+
+    Y_single_M = np.asarray(single.M_mm(jnp.asarray(Xs_np)))[:n]
+    Y_dist_M = np.asarray(spmm_dist(dp, mesh, X, which="M"))[:n]
+    np.testing.assert_allclose(
+        Y_dist_M, Y_single_M[perm], rtol=1e-12, atol=1e-12
+    )
+
+
+def test_dist_lobpcg_3d(cav3d, mesh):
+    """Full distributed eigensolve on the 3D cavity vs dense oracle."""
+    dp = partition_problem(cav3d, D, block=8, dtype=jnp.float64)
+    res = lobpcg_dist(
+        dp, mesh, nev=3, maxiter=60, tol=1e-8, precond_alpha=15.0
+    )
+    dense = scipy.linalg.eigh(
+        cav3d.K.toarray(), cav3d.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:3]
+    assert res.converged, f"residuals {res.residuals}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
+    # analytic sanity: first 3D mode cluster is 2*pi^2 (triple degenerate)
+    np.testing.assert_allclose(
+        res.eigenvalues, cav3d.analytic_eigenvalues(3), rtol=5e-2
+    )
+
+
+def test_dist_lobpcg_20_eigenpairs_2d(mesh):
+    """BASELINE config-5 workload shape: deflated 20-eigenpair block solve on
+    the (simulated) multi-host mesh; parity vs dense oracle."""
+    cav = RectCavity2D(nx=16, ny=16)
+    dp = partition_problem(cav, D, block=8, dtype=jnp.float64)
+    res = lobpcg_dist(
+        dp, mesh, nev=20, m=26, maxiter=200, tol=1e-8, precond_alpha=10.0
+    )
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:20]
+    assert res.converged, f"max res {res.residuals.max():.2e}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-6)
