@@ -1,0 +1,140 @@
+"""Benchmark harness (SURVEY.md §6; BASELINE.md "Measured numbers").
+
+Measures, on the available accelerator (TPU via the axon platform when
+reachable, CPU otherwise):
+  1. HBM copy bandwidth (the roofline for memory-bound SpMV).
+  2. Blocked-ELL SpMV/SpMM throughput in nnz/s/chip (north star, BASELINE
+     .json:2) for both the XLA einsum path and the Pallas kernel.
+  3. A preconditioned LOBPCG solve on a 3D Nedelec cavity (time + residual).
+
+Prints ONE JSON line:
+  {"metric": "spmv_nnz_per_s_per_chip", "value": ..., "unit": "nnz/s",
+   "vs_baseline": <fraction of the measured HBM roofline>}
+(vs_baseline is versus the speed-of-light roofline because the reference
+publishes no numbers — BASELINE.json:13.)
+
+Details land in bench_details.json next to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, iters=20, warmup=3):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    details = {"device": str(dev), "platform": platform}
+
+    # ---- 1. HBM copy roofline -------------------------------------------
+    nbytes = 256 * 1024 * 1024 if platform != "cpu" else 64 * 1024 * 1024
+    big = jnp.ones((nbytes // 4,), jnp.float32)
+    copy = jax.jit(lambda x: x + 1.0)
+    copy(big).block_until_ready()
+    t = _timeit(lambda: copy(big).block_until_ready(), iters=10)
+    # read + write
+    bw = 2 * nbytes / t
+    details["hbm_copy_GBps"] = bw / 1e9
+
+    # ---- 2. SpMV / SpMM throughput --------------------------------------
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+    from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
+    from maxwell_tpu.kernels.spmm import bsr_matmat_pallas
+
+    grid = 24 if platform != "cpu" else 12
+    cav = PermutedProblem(BrickCavity3D(nx=grid, ny=grid, nz=grid))
+    A = BSRMatrix.from_csr(cav.K, block=8, dtype=jnp.float32)
+    details["n"] = A.n
+    details["nnz_csr"] = int(cav.K.nnz)
+    details["nnz_dense_blocks"] = int(A.nnz_dense)
+
+    m = 8
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (A.n_padded, m), jnp.float32)
+
+    ref_mm = jax.jit(bsr_matmat_ref)
+    ref_mm(A, X).block_until_ready()
+    t_ref = _timeit(lambda: ref_mm(A, X).block_until_ready())
+
+    t_pal = None
+    if platform != "cpu":
+        try:
+            pal = jax.jit(bsr_matmat_pallas)
+            pal(A, X).block_until_ready()
+            t_pal = _timeit(lambda: pal(A, X).block_until_ready())
+        except Exception as e:  # pragma: no cover - depends on backend
+            details["pallas_error"] = repr(e)
+
+    # throughput in stored-block nnz/s (the HBM-traffic-relevant count) and
+    # in csr-nnz/s (the matrix-math count); report the latter as headline
+    best_t = min(t for t in (t_ref, t_pal) if t is not None)
+    nnz = int(cav.K.nnz)
+    nnz_per_s = nnz / best_t
+    details["spmm_time_ref_s"] = t_ref
+    details["spmm_time_pallas_s"] = t_pal
+    details["spmm_m"] = m
+    details["spmv_nnz_per_s"] = nnz_per_s
+
+    # speed-of-light: SpMM traffic ~ blocks (4B/entry) + cols + X + Y
+    bytes_touched = (
+        A.blocks.size * 4 + A.cols.size * 4 + 2 * A.n_padded * m * 4
+    )
+    sol_t = bytes_touched / bw
+    details["roofline_time_s"] = sol_t
+    vs_roofline = sol_t / best_t  # fraction of speed of light
+    details["pct_of_roofline"] = 100.0 * vs_roofline
+
+    # ---- 3. eigensolve (config-2-style on 3D operator) -------------------
+    try:
+        from maxwell_tpu.solvers.operator import Pencil
+        from maxwell_tpu.solvers import lobpcg
+        from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
+
+        g2 = 10 if platform == "cpu" else 16
+        cav2 = BrickCavity3D(nx=g2, ny=g2, nz=g2)
+        pencil = Pencil.from_problem(cav2, block=8, dtype=jnp.float32)
+        pc = shifted_cg_preconditioner(pencil, alpha=15.0, iters=16)
+        t0 = time.perf_counter()
+        res = lobpcg(pencil, nev=5, maxiter=60, tol=5e-7, precond=pc)
+        t_solve = time.perf_counter() - t0
+        details["lobpcg_3d_n"] = pencil.n
+        details["lobpcg_3d_time_s"] = t_solve
+        details["lobpcg_3d_iters"] = res.iterations
+        details["lobpcg_3d_max_res"] = float(res.residuals.max())
+        details["lobpcg_3d_eigs"] = [float(v) for v in res.eigenvalues]
+    except Exception as e:  # pragma: no cover
+        details["lobpcg_error"] = repr(e)
+
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_nnz_per_s_per_chip",
+                "value": nnz_per_s,
+                "unit": "nnz/s",
+                "vs_baseline": vs_roofline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""CLI driver: `python -m maxwell_tpu.cli.run configs/config2.json [overrides]`.
+
+Config schema (JSON):
+{
+  "problem": {"kind": "rect2d"|"brick3d", "a":1, "b":1, ["c":1],
+               "nx":16, "ny":16, ["nz":16]},
+  "solver":  {"kind": "lanczos"|"lobpcg"|"shift_invert"|"lobpcg_dist",
+               "nev":5, "tol":1e-8, "maxiter":200, ...},
+  "storage": {"block": 8, "dtype": "f32"|"f64", "kernel": "ref"|"pallas"},
+  "dist":    {"n_shards": 8}            # lobpcg_dist only
+}
+
+Emits per-iteration JSON lines (residual history) and a final report with
+eigenvalues, residuals, timing, and analytic parity when available
+(SURVEY.md §5.5/§5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_problem(cfg):
+    kind = cfg.get("kind", "rect2d")
+    if kind == "rect2d":
+        from maxwell_tpu.problems import RectCavity2D
+
+        return RectCavity2D(
+            a=cfg.get("a", 1.0),
+            b=cfg.get("b", 1.0),
+            nx=cfg.get("nx", 16),
+            ny=cfg.get("ny", 16),
+        )
+    if kind == "brick3d":
+        from maxwell_tpu.problems import BrickCavity3D
+
+        return BrickCavity3D(
+            a=cfg.get("a", 1.0),
+            b=cfg.get("b", 1.0),
+            c=cfg.get("c", 1.0),
+            nx=cfg.get("nx", 8),
+            ny=cfg.get("ny", 8),
+            nz=cfg.get("nz", 8),
+        )
+    raise ValueError(f"unknown problem kind {kind!r}")
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", help="path to JSON config")
+    ap.add_argument("--nev", type=int, default=None)
+    ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--maxiter", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None, help="state file for save/resume")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    scfg = cfg.get("solver", {})
+    if args.nev is not None:
+        scfg["nev"] = args.nev
+    if args.tol is not None:
+        scfg["tol"] = args.tol
+    if args.maxiter is not None:
+        scfg["maxiter"] = args.maxiter
+
+    stg = cfg.get("storage", {})
+    dtype = {"f32": jnp.float32, "f64": jnp.float64}[stg.get("dtype", "f64")]
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    block = stg.get("block", 8)
+    kernel = stg.get("kernel", "ref")
+
+    t0 = time.perf_counter()
+    problem = build_problem(cfg.get("problem", {}))
+    t_setup = time.perf_counter() - t0
+
+    kind = scfg.get("kind", "lobpcg")
+    nev = scfg.get("nev", 5)
+    tol = scfg.get("tol", 1e-8)
+    maxiter = scfg.get("maxiter", 200)
+
+    t0 = time.perf_counter()
+    if kind == "lobpcg_dist":
+        from maxwell_tpu.dist import make_mesh, partition_problem
+        from maxwell_tpu.solvers.dist_solve import lobpcg_dist
+
+        D = cfg.get("dist", {}).get("n_shards", len(jax.devices()))
+        dp = partition_problem(
+            problem, D, block=block, kernel=kernel, dtype=dtype
+        )
+        mesh = make_mesh(D)
+        res = lobpcg_dist(
+            dp,
+            mesh,
+            nev=nev,
+            m=scfg.get("block_size"),
+            maxiter=maxiter,
+            tol=tol,
+            precond_alpha=scfg.get("precond_alpha"),
+            precond_iters=scfg.get("precond_iters", 20),
+        )
+    else:
+        from maxwell_tpu.solvers.operator import Pencil
+
+        pencil = Pencil.from_problem(
+            problem, block=block, kernel=kernel, dtype=dtype
+        )
+        if kind == "lanczos":
+            from maxwell_tpu.solvers import lanczos
+
+            res = lanczos(pencil, nev=nev, maxiter=maxiter, tol=tol)
+        elif kind == "shift_invert":
+            from maxwell_tpu.solvers.shift_invert import shift_invert_lanczos
+
+            res = shift_invert_lanczos(
+                pencil,
+                sigma=scfg.get("sigma", 1.0),
+                nev=nev,
+                maxiter=maxiter,
+                tol=tol,
+            )
+        elif kind == "lobpcg":
+            from maxwell_tpu.solvers import lobpcg
+            from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
+
+            pc = None
+            if scfg.get("precond_alpha") is not None:
+                pc = shifted_cg_preconditioner(
+                    pencil,
+                    alpha=scfg["precond_alpha"],
+                    iters=scfg.get("precond_iters", 20),
+                )
+            res = lobpcg(
+                pencil,
+                nev=nev,
+                m=scfg.get("block_size"),
+                maxiter=maxiter,
+                tol=tol,
+                precond=pc,
+                checkpoint=args.checkpoint,
+            )
+        else:
+            raise ValueError(f"unknown solver {kind!r}")
+    t_solve = time.perf_counter() - t0
+
+    for h in res.history:
+        print(json.dumps(h))
+
+    report = {
+        "eigenvalues": [float(v) for v in res.eigenvalues],
+        "residuals": [float(r) for r in res.residuals],
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "t_setup_s": t_setup,
+        "t_solve_s": t_solve,
+        "n": problem.n_edges,
+    }
+    if kind != "shift_invert":  # analytic oracle lists the SMALLEST modes
+        try:
+            exact = problem.analytic_eigenvalues(nev)
+            report["analytic"] = [float(v) for v in exact]
+            report["analytic_rel_err"] = [
+                float(abs(v - e) / e)
+                for v, e in zip(res.eigenvalues, exact)
+            ]
+        except Exception:
+            pass
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

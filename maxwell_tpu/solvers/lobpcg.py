@@ -159,11 +159,14 @@ def lobpcg(
     key: jax.Array | None = None,
     precond: Callable | None = None,
     X0: jax.Array | None = None,
+    checkpoint: str | None = None,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
     m: block size (default nev + max(4, nev//2) guard vectors). Convergence is
-    tested on all m columns; the returned result keeps the first nev.
+    tested on the first nev columns; the result keeps the first nev.
+    checkpoint: optional state file — resumes X0 from it if present and
+    saves the final Ritz block to it (SURVEY.md §5.4).
     """
     if m is None:
         m = nev + max(4, nev // 2)
@@ -172,6 +175,16 @@ def lobpcg(
     n_pad, n = pencil.n_padded, pencil.n
     dtype = pencil.K.blocks.dtype
 
+    prev_iters = 0
+    if X0 is None and checkpoint is not None:
+        from maxwell_tpu.utils.checkpoint import load_state
+
+        state = load_state(checkpoint)
+        if state is not None and state["X"].shape == (n, m):
+            X0 = jnp.zeros((n_pad, m), dtype).at[:n].set(
+                jnp.asarray(state["X"], dtype)
+            )
+            prev_iters = state["iteration"]
     if X0 is None:
         X0 = jax.random.normal(key, (n_pad, m), dtype=dtype)
         X0 = X0.at[n:].set(0.0)
@@ -184,16 +197,26 @@ def lobpcg(
         pencil, X0, maxiter, tol, precond, nev=nev
     )
 
+    if checkpoint is not None:
+        from maxwell_tpu.utils.checkpoint import save_state
+
+        save_state(
+            checkpoint,
+            X=np.asarray(X[:n]),
+            theta=np.asarray(theta),
+            iteration=prev_iters + int(it),
+        )
+
     theta = np.asarray(theta)[:nev]
     history = [
-        {"iter": i, "max_rel_res": float(h)}
+        {"iter": prev_iters + i, "max_rel_res": float(h)}
         for i, h in enumerate(np.asarray(hist)[: int(it)])
     ]
     return EigenResult(
         eigenvalues=theta,
         eigenvectors=np.asarray(X[:n, :nev]),
         residuals=np.asarray(res)[:nev],
-        iterations=int(it),
+        iterations=prev_iters + int(it),
         converged=bool(np.asarray(res)[:nev].max() <= tol),
         history=history,
     )
