@@ -61,45 +61,70 @@ class LevelSchedule:
 
     @staticmethod
     def from_csr(T: sp.spmatrix, lower: bool) -> "LevelSchedule":
-        """Build the level schedule from a triangular scipy matrix."""
+        """Build the level schedule from a triangular scipy matrix.
+
+        Level computation runs in the native C++ extension when available
+        (maxwell_tpu/native); packing is vectorized numpy.
+        """
         T = sp.csr_matrix(T)
+        T.sort_indices()
         n = T.shape[0]
         indptr, indices, data = T.indptr, T.indices, T.data
+
         diag = np.ones(n, dtype=T.dtype)
-        level = np.zeros(n, dtype=np.int64)
-        deps_cols = []
-        deps_vals = []
-        order = range(n) if lower else range(n - 1, -1, -1)
-        for i in order:
-            lo, hi = indptr[i], indptr[i + 1]
-            cs, vs = indices[lo:hi], data[lo:hi]
-            mask = cs < i if lower else cs > i
-            dmask = cs == i
-            if dmask.any():
-                diag[i] = vs[dmask][0]
-            cs, vs = cs[mask], vs[mask]
-            deps_cols.append(cs)
-            deps_vals.append(vs)
-            level[i] = 1 + max((level[c] for c in cs), default=-1)
-        if not lower:
-            deps_cols.reverse()
-            deps_vals.reverse()
+        dvals = T.diagonal()
+        diag[dvals != 0] = dvals[dvals != 0]
+
+        # dependency levels
+        level = None
+        try:
+            from maxwell_tpu import native
+
+            if native.HAVE_NATIVE:
+                level, _ = native.level_schedule_levels(
+                    indptr, indices, n, lower
+                )
+        except Exception:
+            level = None
+        if level is None:
+            level = np.zeros(n, dtype=np.int64)
+            order = range(n) if lower else range(n - 1, -1, -1)
+            for i in order:
+                cs = indices[indptr[i] : indptr[i + 1]]
+                cs = cs[cs < i] if lower else cs[cs > i]
+                level[i] = 1 + max((level[c] for c in cs), default=-1)
+
+        # off-diagonal entries, grouped per row (vectorized packing)
+        nnz = len(indices)
+        entry_row = np.repeat(np.arange(n), np.diff(indptr))
+        off = indices < entry_row if lower else indices > entry_row
+        e_row = entry_row[off]
+        e_col = indices[off].astype(np.int32)
+        e_val = data[off]
+        row_nnz = np.bincount(e_row, minlength=n)
+        # position of each entry within its row
+        row_first = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_nnz, out=row_first[1:])
+        e_pos = np.arange(len(e_row)) - row_first[e_row]
 
         n_levels = int(level.max()) + 1 if n else 0
-        by_level = [np.where(level == l)[0].astype(np.int32) for l in range(n_levels)]
-        Rmax = max((len(r) for r in by_level), default=1)
-        Smax = max((len(c) for c in deps_cols), default=0)
-        Smax = max(Smax, 1)
+        lvl_count = np.bincount(level, minlength=max(n_levels, 1))
+        Rmax = int(lvl_count.max()) if n else 1
+        Smax = max(int(row_nnz.max()) if n else 0, 1)
+
+        # row's position within its level: stable argsort by level
+        order_rows = np.argsort(level, kind="stable")
+        pos_in_level = np.empty(n, dtype=np.int64)
+        lvl_start = np.zeros(n_levels + 1, dtype=np.int64)
+        np.cumsum(lvl_count, out=lvl_start[1:])
+        pos_in_level[order_rows] = np.arange(n) - lvl_start[level[order_rows]]
 
         rows_a = np.full((n_levels, Rmax), n, dtype=np.int32)
         cols_a = np.full((n_levels, Rmax, Smax), n, dtype=np.int32)
         vals_a = np.zeros((n_levels, Rmax, Smax), dtype=T.dtype)
-        for l, rws in enumerate(by_level):
-            rows_a[l, : len(rws)] = rws
-            for k, r in enumerate(rws):
-                cs, vs = deps_cols[r], deps_vals[r]
-                cols_a[l, k, : len(cs)] = cs
-                vals_a[l, k, : len(cs)] = vs
+        rows_a[level, pos_in_level] = np.arange(n, dtype=np.int32)
+        cols_a[level[e_row], pos_in_level[e_row], e_pos] = e_col
+        vals_a[level[e_row], pos_in_level[e_row], e_pos] = e_val
         return LevelSchedule(
             rows=jnp.asarray(rows_a),
             cols=jnp.asarray(cols_a),
@@ -180,4 +205,70 @@ class SparseLUDevice:
         Y = self.L.solve(Bp)
         Z = self.U.solve(Y)
         X = Z[self.perm_c]  # verified vs scipy: x = z[perm_c]
+        return X[:, 0] if vec else X
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SparseLDLTDevice:
+    """Device-resident sparse LDL^T: x = P^T (L^-T (D^-1 (L^-1 (P b)))).
+
+    Factored by the native C++ up-looking LDL^T (maxwell_tpu/native) after a
+    fill-reducing symmetric permutation; solves are level-scheduled on
+    device (SURVEY.md §2 C10 — the fully in-house factorization path;
+    SparseLUDevice/splu is the scipy-backed alternative).
+    """
+
+    L: LevelSchedule  # unit lower
+    Lt: LevelSchedule  # its transpose (unit upper)
+    dinv: jax.Array
+    perm: jax.Array  # x_perm[i] = x_orig[perm[i]]
+    iperm: jax.Array
+    n: int
+
+    def tree_flatten(self):
+        return (self.L, self.Lt, self.dinv, self.perm, self.iperm), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        L, Lt, dinv, perm, iperm = children
+        return cls(L=L, Lt=Lt, dinv=dinv, perm=perm, iperm=iperm, n=aux[0])
+
+    @staticmethod
+    def factor(A: sp.spmatrix, perm: np.ndarray | None = None) -> "SparseLDLTDevice":
+        """Factor symmetric A (any triangle storage; full matrix expected)."""
+        from maxwell_tpu import native
+
+        if not native.HAVE_NATIVE:
+            raise RuntimeError("native extension unavailable")
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        if perm is None:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = np.asarray(
+                reverse_cuthill_mckee(A, symmetric_mode=True)
+            )
+        Ap = A[perm][:, perm].tocsc()
+        Lp, Li, Lx, D = native.ldlt_factor(sp.triu(Ap).tocsc())
+        L = sp.csc_matrix((Lx, Li, Lp), shape=(n, n)).tocsr()
+        iperm = np.empty(n, dtype=np.int32)
+        iperm[perm] = np.arange(n, dtype=np.int32)
+        return SparseLDLTDevice(
+            L=LevelSchedule.from_csr(L, lower=True),
+            Lt=LevelSchedule.from_csr(L.T.tocsr(), lower=False),
+            dinv=jnp.asarray(1.0 / D),
+            perm=jnp.asarray(perm.astype(np.int32)),
+            iperm=jnp.asarray(iperm),
+            n=n,
+        )
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        vec = b.ndim == 1
+        B = b[:, None] if vec else b
+        Bp = B[self.perm]
+        Y = self.L.solve(Bp)
+        Z = Y * self.dinv[:, None]
+        W = self.Lt.solve(Z)
+        X = W[self.iperm]
         return X[:, 0] if vec else X

@@ -33,15 +33,31 @@ def _si_apply(pencil: Pencil, lu_dev: SparseLUDevice, x: jax.Array) -> jax.Array
     return pencil.project(z)
 
 
-def build_shift_invert_op(pencil: Pencil, sigma: float):
-    """Factor K - sigma*M on host; return a Partial device apply."""
+def build_shift_invert_op(pencil: Pencil, sigma: float, backend: str = "auto"):
+    """Factor K - sigma*M on host; return a Partial device apply.
+
+    backend: "ldlt" (native C++ LDL^T, maxwell_tpu/native), "splu" (scipy
+    SuperLU with partial pivoting), or "auto" (ldlt with splu fallback on a
+    zero pivot or missing toolchain).
+    """
     K = pencil.K.to_csr()
     M = (
         pencil.M.to_csr()
         if pencil.M is not None
         else sp.eye(K.shape[0], format="csr")
     )
-    lu = spla.splu((K - sigma * M).tocsc())
+    A = (K - sigma * M).tocsc()
+
+    if backend in ("auto", "ldlt"):
+        try:
+            from maxwell_tpu.kernels.tri_solve import SparseLDLTDevice
+
+            dev = SparseLDLTDevice.factor(A)
+            return jax.tree_util.Partial(_si_apply, pencil, dev)
+        except (RuntimeError, ZeroDivisionError):
+            if backend == "ldlt":
+                raise
+    lu = spla.splu(A)
     lu_dev = SparseLUDevice.from_splu(lu)
     return jax.tree_util.Partial(_si_apply, pencil, lu_dev)
 
@@ -53,9 +69,10 @@ def shift_invert_lanczos(
     maxiter: int = 60,
     tol: float = 1e-8,
     key: jax.Array | None = None,
+    backend: str = "auto",
 ) -> EigenResult:
     """Find the nev eigenvalues of K x = lambda M x closest to sigma."""
-    apply_op = build_shift_invert_op(pencil, sigma)
+    apply_op = build_shift_invert_op(pencil, sigma, backend=backend)
     return lanczos(
         pencil,
         nev=nev,

@@ -109,9 +109,49 @@ class BSRMatrix:
         if align_slots is None:
             align_slots = max(128 // b, 1)
 
-        # block structure via scipy BSR (zero-pads to n_pad first)
         A_pad = sp.csr_matrix((A.data, A.indices, A.indptr), shape=(n, n))
         A_pad.resize((n_pad, n_pad))
+
+        # fast path: native C++ converter (maxwell_tpu/native)
+        try:
+            from maxwell_tpu import native
+
+            have_native = native.HAVE_NATIVE
+        except Exception:
+            have_native = False
+        if have_native:
+            # upper bound on blocks/row: distinct block-cols per block-row
+            bc = np.unique(
+                np.stack(
+                    [
+                        np.repeat(
+                            np.arange(n_pad) // b, np.diff(A_pad.indptr)
+                        ),
+                        A_pad.indices // b,
+                    ],
+                    axis=1,
+                ),
+                axis=0,
+            )
+            per_row = (
+                np.bincount(bc[:, 0], minlength=n_brows)
+                if bc.size
+                else np.zeros(n_brows, dtype=np.int64)
+            )
+            S = max(
+                _round_up(max(int(per_row.max()) if len(per_row) else 1, 1), align_slots),
+                align_slots,
+            )
+            blocks, cols, _ = native.bell_from_csr(
+                A_pad.indptr, A_pad.indices, A_pad.data, n_pad, b, S
+            )
+            return BSRMatrix(
+                blocks=jnp.asarray(blocks, dtype=dtype),
+                cols=jnp.asarray(cols),
+                n=n,
+            )
+
+        # fallback: scipy BSR + python packing
         Ab = A_pad.tobsr(blocksize=(b, b))
         Ab.sort_indices()
         indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
