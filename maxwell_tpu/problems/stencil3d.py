@@ -1,0 +1,274 @@
+"""Assembly-free curl-curl/mass apply for the 3D brick cavity — the flagship
+speed-of-light path (SURVEY.md §2 C2; BASELINE.json "assembly-free storage",
+config 4's operator).
+
+Edge fields on their natural grids: Ex (nx, ny+1, nz+1), Ey (nx+1, ny, nz+1),
+Ez (nx+1, ny+1, nz). One apply = 12 static slice-gathers -> a (12 x 12)
+element-matrix contraction batched over all cells (MXU) -> 12 slice
+scatter-adds. No matrix in memory: HBM traffic is just the field (re)reads,
+so effective nnz/s is compute-bound, far above the SpMV roofline.
+
+Exactness vs the assembled BrickCavity3D operators is tested in
+tests/unit/test_stencil.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxwell_tpu.solvers.cg import cg
+from maxwell_tpu.solvers.deflation import GradientProjector
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StencilPencil3D:
+    """Matrix-free 3D pencil on the FULL edge set (PEC via masking).
+
+    Flat layout: [Ex (nx, ny+1, nz+1) | Ey (nx+1, ny, nz+1) |
+    Ez (nx+1, ny+1, nz)], each row-major, then pad.
+    """
+
+    mask: jax.Array
+    Ke: jax.Array  # (12, 12)
+    Me: jax.Array
+    proj: GradientProjector | None
+    a: float
+    b: float
+    c: float
+    nx: int
+    ny: int
+    nz: int
+    n: int
+    n_padded: int
+    mass_tol: float = 1e-12
+    mass_iters: int = 300
+
+    def tree_flatten(self):
+        return (self.mask, self.Ke, self.Me, self.proj), (
+            self.a, self.b, self.c, self.nx, self.ny, self.nz,
+            self.n, self.n_padded, self.mass_tol, self.mass_iters,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        mask, Ke, Me, proj = children
+        return cls(mask, Ke, Me, proj, *aux)
+
+    @property
+    def dtype(self):
+        return self.mask.dtype
+
+    # --- reductions -------------------------------------------------------
+    def dot_mm(self, A, B):
+        return A.T @ B
+
+    def dot_cols(self, A, B):
+        return jnp.sum(A * B, axis=0)
+
+    def dot_vv(self, x, y):
+        return jnp.vdot(x, y)
+
+    def reduce_rows(self, v):
+        return v
+
+    def col_norms(self, A):
+        return jnp.sqrt(jnp.maximum(self.dot_cols(A, A), 0.0))
+
+    # --- packing ----------------------------------------------------------
+    @property
+    def _sizes(self):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        return (
+            nx * (ny + 1) * (nz + 1),
+            (nx + 1) * ny * (nz + 1),
+            (nx + 1) * (ny + 1) * nz,
+        )
+
+    def _to_grids(self, X):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        sx, sy, sz = self._sizes
+        m = X.shape[1]
+        Ex = X[:sx].reshape(nx, ny + 1, nz + 1, m)
+        Ey = X[sx : sx + sy].reshape(nx + 1, ny, nz + 1, m)
+        Ez = X[sx + sy : self.n].reshape(nx + 1, ny + 1, nz, m)
+        return Ex, Ey, Ez
+
+    def _from_grids(self, Ex, Ey, Ez, m):
+        out = jnp.concatenate(
+            [Ex.reshape(-1, m), Ey.reshape(-1, m), Ez.reshape(-1, m)], axis=0
+        )
+        pad = self.n_padded - self.n
+        if pad:
+            out = jnp.pad(out, ((0, pad), (0, 0)))
+        return out
+
+    # --- the element apply (shared by K and M) ----------------------------
+    def _element_apply(self, E, X):
+        """Y = A X where A assembles the (12x12) element matrix E over all
+        cells. Local edge order MUST match problems.cavity3d.
+        hex_element_matrices: 0-3 x(b,g), 4-7 y(a,g), 8-11 z(a,b)."""
+        vec = X.ndim == 1
+        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+        m = Xl.shape[1]
+        nx, ny, nz = self.nx, self.ny, self.nz
+        Ex, Ey, Ez = self._to_grids(Xl)
+
+        panels = [
+            Ex[:, 0:ny, 0:nz], Ex[:, 1 : ny + 1, 0:nz],
+            Ex[:, 0:ny, 1 : nz + 1], Ex[:, 1 : ny + 1, 1 : nz + 1],
+            Ey[0:nx, :, 0:nz], Ey[1 : nx + 1, :, 0:nz],
+            Ey[0:nx, :, 1 : nz + 1], Ey[1 : nx + 1, :, 1 : nz + 1],
+            Ez[0:nx, 0:ny, :], Ez[1 : nx + 1, 0:ny, :],
+            Ez[0:nx, 1 : ny + 1, :], Ez[1 : nx + 1, 1 : ny + 1, :],
+        ]
+        G = jnp.stack(panels)  # (12, nx, ny, nz, m)
+        Y = jnp.einsum(
+            "ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype
+        )
+
+        Yx = jnp.zeros_like(Ex)
+        Yy = jnp.zeros_like(Ey)
+        Yz = jnp.zeros_like(Ez)
+        Yx = Yx.at[:, 0:ny, 0:nz].add(Y[0])
+        Yx = Yx.at[:, 1 : ny + 1, 0:nz].add(Y[1])
+        Yx = Yx.at[:, 0:ny, 1 : nz + 1].add(Y[2])
+        Yx = Yx.at[:, 1 : ny + 1, 1 : nz + 1].add(Y[3])
+        Yy = Yy.at[0:nx, :, 0:nz].add(Y[4])
+        Yy = Yy.at[1 : nx + 1, :, 0:nz].add(Y[5])
+        Yy = Yy.at[0:nx, :, 1 : nz + 1].add(Y[6])
+        Yy = Yy.at[1 : nx + 1, :, 1 : nz + 1].add(Y[7])
+        Yz = Yz.at[0:nx, 0:ny, :].add(Y[8])
+        Yz = Yz.at[1 : nx + 1, 0:ny, :].add(Y[9])
+        Yz = Yz.at[0:nx, 1 : ny + 1, :].add(Y[10])
+        Yz = Yz.at[1 : nx + 1, 1 : ny + 1, :].add(Y[11])
+
+        out = self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None]
+        return out[:, 0] if vec else out
+
+    def K_mm(self, X):
+        return self._element_apply(self.Ke, X)
+
+    def M_mm(self, X):
+        return self._element_apply(self.Me, X)
+
+    def KM_mm(self, X):
+        return self.K_mm(X), self.M_mm(X)
+
+    def Minv_mm(self, X):
+        return cg(
+            self.M_mm, X, tol=self.mass_tol, maxiter=self.mass_iters,
+            dot=self.dot_cols,
+        )
+
+    def project(self, X):
+        Xm = X * (self.mask if X.ndim == 1 else self.mask[:, None])
+        if self.proj is None:
+            return Xm
+        return self.proj.project(self.M_mm, Xm)
+
+    # --- construction -----------------------------------------------------
+    @staticmethod
+    def build(
+        a=1.0, b=1.0, c=1.0, nx=8, ny=8, nz=8,
+        dtype=jnp.float32, block: int = 8,
+    ) -> "StencilPencil3D":
+        import scipy.sparse as sp
+
+        from maxwell_tpu.problems.cavity3d import hex_element_matrices
+
+        hx, hy, hz = a / nx, b / ny, c / nz
+        Ke, Me = hex_element_matrices(hx, hy, hz)
+
+        sx = nx * (ny + 1) * (nz + 1)
+        sy = (nx + 1) * ny * (nz + 1)
+        sz = (nx + 1) * (ny + 1) * nz
+        n = sx + sy + sz
+        n_padded = _round_up(n, block * max(128 // block, 1))
+
+        # masks (PEC: tangential edges on walls removed)
+        mask = np.zeros(n_padded, dtype=np.dtype(dtype))
+        xi, xj, xk = np.meshgrid(
+            np.arange(nx), np.arange(ny + 1), np.arange(nz + 1), indexing="ij"
+        )
+        mask[:sx] = (
+            (xj != 0) & (xj != ny) & (xk != 0) & (xk != nz)
+        ).reshape(-1)
+        yi, yj, yk = np.meshgrid(
+            np.arange(nx + 1), np.arange(ny), np.arange(nz + 1), indexing="ij"
+        )
+        mask[sx : sx + sy] = (
+            (yi != 0) & (yi != nx) & (yk != 0) & (yk != nz)
+        ).reshape(-1)
+        zi, zj, zk = np.meshgrid(
+            np.arange(nx + 1), np.arange(ny + 1), np.arange(nz), indexing="ij"
+        )
+        mask[sx + sy : n] = (
+            (zi != 0) & (zi != nx) & (zj != 0) & (zj != ny)
+        ).reshape(-1)
+
+        # discrete gradient (interior nodes), stencil layout, masked rows
+        def node(i, j, k):
+            return (i * (ny + 1) + j) * (nz + 1) + k
+
+        rows, cols, vals = [], [], []
+        eid_x = ((xi * (ny + 1) + xj) * (nz + 1) + xk).reshape(-1)
+        for head, sgn in (
+            (node(xi + 1, xj, xk), 1.0 / hx),
+            (node(xi, xj, xk), -1.0 / hx),
+        ):
+            rows.append(eid_x)
+            cols.append(head.reshape(-1))
+            vals.append(np.full(eid_x.size, sgn))
+        eid_y = sx + ((yi * ny + yj) * (nz + 1) + yk).reshape(-1)
+        for head, sgn in (
+            (node(yi, yj + 1, yk), 1.0 / hy),
+            (node(yi, yj, yk), -1.0 / hy),
+        ):
+            rows.append(eid_y)
+            cols.append(head.reshape(-1))
+            vals.append(np.full(eid_y.size, sgn))
+        eid_z = sx + sy + ((zi * (ny + 1) + zj) * nz + zk).reshape(-1)
+        for head, sgn in (
+            (node(zi, zj, zk + 1), 1.0 / hz),
+            (node(zi, zj, zk), -1.0 / hz),
+        ):
+            rows.append(eid_z)
+            cols.append(head.reshape(-1))
+            vals.append(np.full(eid_z.size, sgn))
+
+        n_nodes = (nx + 1) * (ny + 1) * (nz + 1)
+        G_full = sp.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(n, n_nodes),
+        ).tocsr()
+        G_full = sp.diags(mask[:n].astype(float)) @ G_full
+        ni, nj, nk = np.meshgrid(
+            np.arange(nx + 1), np.arange(ny + 1), np.arange(nz + 1),
+            indexing="ij",
+        )
+        ni, nj, nk = ni.reshape(-1), nj.reshape(-1), nk.reshape(-1)
+        interior = (
+            (ni > 0) & (ni < nx) & (nj > 0) & (nj < ny) & (nk > 0) & (nk < nz)
+        )
+        G = G_full[:, node(ni, nj, nk)[interior]]
+        proj = GradientProjector.from_gradient(G.tocsr(), n_padded, dtype=dtype)
+
+        return StencilPencil3D(
+            mask=jnp.asarray(mask),
+            Ke=jnp.asarray(Ke, dtype=dtype),
+            Me=jnp.asarray(Me, dtype=dtype),
+            proj=proj,
+            a=a, b=b, c=c, nx=nx, ny=ny, nz=nz, n=n, n_padded=n_padded,
+        )

@@ -173,7 +173,7 @@ def lobpcg(
     if key is None:
         key = jax.random.PRNGKey(0)
     n_pad, n = pencil.n_padded, pencil.n
-    dtype = pencil.K.blocks.dtype
+    dtype = pencil.dtype
 
     prev_iters = 0
     if X0 is None and checkpoint is not None:

@@ -1,0 +1,146 @@
+"""Matrix-free stencil applies vs assembled matrices (exactness) and a full
+matrix-free eigensolve (SURVEY.md §2 C2 assembly-free path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from maxwell_tpu.problems import RectCavity2D
+from maxwell_tpu.problems.stencil2d import StencilPencil2D
+from maxwell_tpu.solvers import lobpcg
+from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
+
+NX, NY = 12, 10
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cav = RectCavity2D(a=1.0, b=1.3, nx=NX, ny=NY)
+    stp = StencilPencil2D.build(a=1.0, b=1.3, nx=NX, ny=NY, dtype=jnp.float64)
+    # map assembled (kept, cavity numbering) -> stencil (full, grid-major)
+    n_xe = NX * (NY + 1)
+
+    def cav_edge_to_stencil(e):
+        if e < n_xe:  # cavity: id = j*NX + i ; stencil: i*(NY+1) + j
+            i, j = e % NX, e // NX
+            return i * (NY + 1) + j
+        e -= n_xe
+        i, j = e % (NX + 1), e // (NX + 1)  # cavity y: id = j*(NX+1)+i
+        return n_xe + i * NY + j  # stencil y: i*NY + j
+
+    idx = np.array([cav_edge_to_stencil(e) for e in cav.keep])
+    return cav, stp, idx
+
+
+def test_stencil_K_matches_assembled(pair):
+    cav, stp, idx = pair
+    rng = np.random.default_rng(0)
+    Xk = rng.standard_normal((cav.n_edges, 3))
+    Xf = np.zeros((stp.n_padded, 3))
+    Xf[idx] = Xk
+    Y = np.asarray(stp.K_mm(jnp.asarray(Xf)))
+    Y_ref = cav.K @ Xk
+    np.testing.assert_allclose(Y[idx], Y_ref, rtol=1e-12, atol=1e-12)
+    # masked (PEC) edges stay zero
+    other = np.setdiff1d(np.arange(stp.n_padded), idx)
+    assert np.abs(Y[other]).max() < 1e-14
+
+
+def test_stencil_M_matches_assembled(pair):
+    cav, stp, idx = pair
+    rng = np.random.default_rng(1)
+    Xk = rng.standard_normal((cav.n_edges, 2))
+    Xf = np.zeros((stp.n_padded, 2))
+    Xf[idx] = Xk
+    Y = np.asarray(stp.M_mm(jnp.asarray(Xf)))
+    np.testing.assert_allclose(Y[idx], cav.M @ Xk, rtol=1e-12, atol=1e-12)
+
+
+def test_matrix_free_lobpcg(pair):
+    cav, stp, idx = pair
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:4]
+    pc = shifted_cg_preconditioner(stp, alpha=10.0, iters=20)
+    res = lobpcg(stp, nev=4, maxiter=100, tol=1e-9, precond=pc)
+    assert res.converged, f"residuals {res.residuals}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# 3D
+# ---------------------------------------------------------------------------
+from maxwell_tpu.problems import BrickCavity3D
+from maxwell_tpu.problems.stencil3d import StencilPencil3D
+
+N3 = 5
+
+
+@pytest.fixture(scope="module")
+def pair3d():
+    cav = BrickCavity3D(a=1.0, b=1.2, c=0.9, nx=N3, ny=4, nz=3)
+    stp = StencilPencil3D.build(
+        a=1.0, b=1.2, c=0.9, nx=N3, ny=4, nz=3, dtype=jnp.float64
+    )
+    nx, ny, nz = N3, 4, 3
+    n_xe = nx * (ny + 1) * (nz + 1)
+    n_ye = (nx + 1) * ny * (nz + 1)
+
+    def cav_edge_to_stencil(e):
+        # cavity numbering (cavity3d.py): xe=(k*(ny+1)+j)*nx+i etc.
+        if e < n_xe:
+            i = e % nx
+            j = (e // nx) % (ny + 1)
+            k = e // (nx * (ny + 1))
+            return (i * (ny + 1) + j) * (nz + 1) + k
+        e2 = e - n_xe
+        if e2 < n_ye:
+            i = e2 % (nx + 1)
+            j = (e2 // (nx + 1)) % ny
+            k = e2 // ((nx + 1) * ny)
+            return n_xe + (i * ny + j) * (nz + 1) + k
+        e3 = e2 - n_ye
+        i = e3 % (nx + 1)
+        j = (e3 // (nx + 1)) % (ny + 1)
+        k = e3 // ((nx + 1) * (ny + 1))
+        return n_xe + n_ye + (i * (ny + 1) + j) * nz + k
+
+    idx = np.array([cav_edge_to_stencil(e) for e in cav.keep])
+    return cav, stp, idx
+
+
+def test_stencil3d_K_matches_assembled(pair3d):
+    cav, stp, idx = pair3d
+    rng = np.random.default_rng(3)
+    Xk = rng.standard_normal((cav.n_edges, 2))
+    Xf = np.zeros((stp.n_padded, 2))
+    Xf[idx] = Xk
+    Y = np.asarray(stp.K_mm(jnp.asarray(Xf)))
+    np.testing.assert_allclose(Y[idx], cav.K @ Xk, rtol=1e-12, atol=1e-12)
+    other = np.setdiff1d(np.arange(stp.n_padded), idx)
+    assert np.abs(Y[other]).max() < 1e-14
+
+
+def test_stencil3d_M_matches_assembled(pair3d):
+    cav, stp, idx = pair3d
+    rng = np.random.default_rng(4)
+    Xk = rng.standard_normal((cav.n_edges, 2))
+    Xf = np.zeros((stp.n_padded, 2))
+    Xf[idx] = Xk
+    Y = np.asarray(stp.M_mm(jnp.asarray(Xf)))
+    np.testing.assert_allclose(Y[idx], cav.M @ Xk, rtol=1e-12, atol=1e-12)
+
+
+def test_stencil3d_lobpcg(pair3d):
+    cav, stp, idx = pair3d
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:3]
+    pc = shifted_cg_preconditioner(stp, alpha=15.0, iters=20)
+    res = lobpcg(stp, nev=3, maxiter=100, tol=1e-9, precond=pc)
+    assert res.converged, f"residuals {res.residuals}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
