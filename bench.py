@@ -131,7 +131,7 @@ def main():
         pencil = Pencil.from_problem(cav2, block=8, dtype=jnp.float32)
         pc = shifted_cg_preconditioner(pencil, alpha=15.0, iters=16)
         t0 = time.perf_counter()
-        res = lobpcg(pencil, nev=5, maxiter=60, tol=5e-7, precond=pc)
+        res = lobpcg(pencil, nev=5, maxiter=80, tol=2e-6, precond=pc)
         t_solve = time.perf_counter() - t0
         details["lobpcg_3d_n"] = pencil.n
         details["lobpcg_3d_time_s"] = t_solve

@@ -39,6 +39,12 @@ def cg(
         B = B[:, None]
     X = jnp.zeros_like(B) if x0 is None else (x0[:, None] if vec_in else x0)
 
+    # dtype-aware floor: iterating past the dtype's attainable residual makes
+    # fp32 CG explode (noise directions, vanishing denominators)
+    eps = float(jnp.finfo(B.dtype).eps)
+    tol_eff = max(tol, 16.0 * eps)
+    tiny = float(jnp.finfo(B.dtype).tiny) * 1e4
+
     R = B - A_mm(X)
     P = R
     rs = dot(R, R)
@@ -46,19 +52,28 @@ def cg(
 
     def cond(state):
         it, X, R, P, rs = state
-        return jnp.logical_and(it < maxiter, jnp.any(rs > (tol * tol) * b2))
+        return jnp.logical_and(
+            it < maxiter, jnp.any(rs > (tol_eff * tol_eff) * b2)
+        )
 
     def body(state):
         it, X, R, P, rs = state
         AP = A_mm(P)
         denom = dot(P, AP)
-        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        # per-column breakdown guard: freeze columns whose search direction
+        # has collapsed (denom <= tiny) or that already hit the floor
+        live = jnp.logical_and(
+            denom > tiny, rs > (tol_eff * tol_eff) * b2
+        )
+        alpha = jnp.where(live, rs / jnp.where(live, denom, 1.0), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP
         rs_new = dot(R, R)
-        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        beta = jnp.where(
+            live, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0
+        )
         P = R + beta[None, :] * P
-        return it + 1, X, R, P, rs_new
+        return it + 1, X, R, P, jnp.where(live, rs_new, rs * 0.0)
 
     _, X, _, _, _ = jax.lax.while_loop(cond, body, (0, X, R, P, rs))
     return X[:, 0] if vec_in else X

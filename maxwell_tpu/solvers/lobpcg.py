@@ -32,7 +32,6 @@ from maxwell_tpu.solvers.operator import Pencil
 from maxwell_tpu.solvers.results import EigenResult
 from maxwell_tpu.solvers.rr import svqb
 
-_DEAD_SHIFT = 1e12  # diagonal shift applied to SVQB-masked columns
 
 
 @partial(jax.jit, static_argnames=("maxiter", "nev"))
@@ -43,11 +42,17 @@ def lobpcg_run(
     tol: float,
     precond=None,
     nev: int | None = None,
+    Qlock: jax.Array | None = None,
+    MQlock: jax.Array | None = None,
 ):
     """Jit-ed LOBPCG loop. X0: (n_padded, m), already projected off the
     nullspace (zero-padding invariant holds). Convergence is tested on the
-    first `nev` columns (default: all m). Returns
-    (theta, X, res, iters, res_hist)."""
+    first `nev` columns (default: all m).
+
+    Qlock/MQlock: optional locked M-orthonormal eigenvectors (and M @ Qlock)
+    to deflate against — hard deflation for incremental multi-eigenpair
+    solves (SURVEY.md §2 C12, §3.3 "deflate(R, locked)").
+    Returns (theta, X, res, iters, res_hist)."""
     n, m = X0.shape
     dtype = X0.dtype
     if nev is None:
@@ -60,6 +65,13 @@ def lobpcg_run(
         return pencil.M_mm(Z)
 
     dot_mm = pencil.dot_mm
+
+    def deflate(Z):
+        if Qlock is None:
+            return Z
+        return Z - Qlock @ dot_mm(MQlock, Z)
+
+    X0 = deflate(X0)
 
     # initial M-orthonormalization of X
     X, MX, _, _ = svqb(X0, M_mm(X0), dot_mm=dot_mm)
@@ -98,6 +110,7 @@ def lobpcg_run(
         W = precond(R) if precond is not None else R
         # remove locked/nullspace directions from the correction
         W = pencil.project(W)
+        W = deflate(W)
         W = W - X @ dot_mm(MX, W)  # cheap X-deflation improves Gram conditioning
 
         KW, MW = pencil.KM_mm(W)
@@ -113,7 +126,11 @@ def lobpcg_run(
 
         A = dot_mm(S, KS)
         A = 0.5 * (A + A.T)
-        A = A + jnp.diag(jnp.where(good, 0.0, _DEAD_SHIFT).astype(dtype))
+        # push SVQB-masked (dead) columns above the wanted spectrum — the
+        # shift must stay moderate relative to ||A|| or it destroys the
+        # small eigenvalues in fp32 eigh (dtype-relative, not absolute).
+        dead_shift = 10.0 * jnp.max(jnp.abs(jnp.diag(A))) + 1.0
+        A = A + jnp.diag(jnp.where(good, 0.0, dead_shift).astype(dtype))
         thetaS, C = jnp.linalg.eigh(A)
         Cx = C[:, :m]  # smallest m Ritz pairs
         theta_new = thetaS[:m]
@@ -160,6 +177,7 @@ def lobpcg(
     precond: Callable | None = None,
     X0: jax.Array | None = None,
     checkpoint: str | None = None,
+    deflate_Q: jax.Array | None = None,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
@@ -167,6 +185,8 @@ def lobpcg(
     tested on the first nev columns; the result keeps the first nev.
     checkpoint: optional state file — resumes X0 from it if present and
     saves the final Ritz block to it (SURVEY.md §5.4).
+    deflate_Q: (n, q) previously-converged M-orthonormal eigenvectors to
+    hard-deflate; the solve returns the next nev pairs ABOVE them (C12).
     """
     if m is None:
         m = nev + max(4, nev // 2)
@@ -193,8 +213,17 @@ def lobpcg(
     if precond is not None:
         precond = jax.tree_util.Partial(precond)
 
+    Qlock = MQlock = None
+    if deflate_Q is not None:
+        q = deflate_Q.shape[1]
+        Qlock = jnp.zeros((n_pad, q), dtype).at[:n].set(
+            jnp.asarray(deflate_Q, dtype)
+        )
+        MQlock = pencil.M_mm(Qlock)
+
     theta, X, res, it, hist = lobpcg_run(
-        pencil, X0, maxiter, tol, precond, nev=nev
+        pencil, X0, maxiter, tol, precond, nev=nev,
+        Qlock=Qlock, MQlock=MQlock,
     )
 
     if checkpoint is not None:

@@ -32,7 +32,7 @@ def eigh_gen(A: jax.Array, B: jax.Array, eps: float = 1e-12):
     return theta, C
 
 
-def svqb(S: jax.Array, MS: jax.Array, dot_mm=None, eps: float = 1e-10):
+def svqb(S: jax.Array, MS: jax.Array, dot_mm=None, eps: float | None = None):
     """SVQB M-orthonormalization of a block S (n x m), given MS = M @ S.
 
     Returns (S_orth, MS_orth, rank_mask, T) with S_orth = S @ T; callers can
@@ -43,6 +43,9 @@ def svqb(S: jax.Array, MS: jax.Array, dot_mm=None, eps: float = 1e-10):
     """
     if dot_mm is None:
         dot_mm = lambda A, B: A.T @ B
+    if eps is None:
+        # rank cutoff just above the Gram-matrix noise floor of the dtype
+        eps = 100.0 * float(jnp.finfo(S.dtype).eps)
     G = dot_mm(S, MS)
     G = 0.5 * (G + G.T)
     d = jnp.sqrt(jnp.maximum(jnp.diag(G), jnp.finfo(G.dtype).tiny))

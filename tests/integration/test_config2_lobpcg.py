@@ -48,3 +48,17 @@ def test_lobpcg_eigenvectors_m_orthonormal(setup):
     np.testing.assert_allclose(gram, np.eye(4), atol=1e-8)
     # no gradient leakage
     assert np.abs(cav.G.T @ (cav.M @ X)).max() < 1e-7
+
+
+def test_lobpcg_incremental_deflation(setup):
+    """Hard deflation (C12): solve 4 pairs, then the NEXT 4 by deflating
+    against the first block — incremental multi-eigenpair workflow."""
+    cav, pencil, discrete, pc = setup
+    r1 = lobpcg(pencil, nev=4, maxiter=100, tol=1e-9, precond=pc)
+    assert r1.converged
+    r2 = lobpcg(
+        pencil, nev=4, maxiter=150, tol=1e-8, precond=pc,
+        deflate_Q=jnp.asarray(r1.eigenvectors),
+    )
+    assert r2.converged, f"res {r2.residuals}"
+    np.testing.assert_allclose(r2.eigenvalues, discrete[4:8], rtol=1e-6)
