@@ -194,6 +194,31 @@ class DistPencil:
             out = jnp.concatenate([Xl, left, right, zero], axis=0)
         return out[:, 0] if vec else out
 
+    def exchange_halos_reference(self, X: jax.Array) -> jax.Array:
+        """Oracle halo exchange via all_gather + window slice — the
+        "checksum mode" of SURVEY.md §5.2: XLA programs are deterministic,
+        so the remaining race surface is the halo path itself; asserting
+        fast-path == gather-path is the moral equivalent of a sanitizer."""
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        Hb = self.H * self.b
+        Lb = self.L * self.b
+        m = Xl.shape[1]
+        zero = jnp.zeros((self.b, m), Xl.dtype)
+        Xg = jax.lax.all_gather(Xl, self.axis, tiled=True, axis=0)
+        Xp = jnp.pad(Xg, ((Hb, Hb), (0, 0)))
+        d = jax.lax.axis_index(self.axis)
+        start = (d * Lb).astype(jnp.int32)
+        win = jax.lax.dynamic_slice(Xp, (start, jnp.int32(0)), (Lb + 2 * Hb, m))
+        out = jnp.concatenate([Xl, win[:Hb], win[Hb + Lb :], zero], axis=0)
+        return out[:, 0] if vec else out
+
+    def halo_checksum(self, X: jax.Array) -> jax.Array:
+        """Max |fast halo path - gather oracle| (replicated scalar)."""
+        a = self.exchange_halos(X)
+        b = self.exchange_halos_reference(_after(X, a))
+        return jax.lax.pmax(jnp.max(jnp.abs(a - b)), self.axis)
+
     # --- operator applies --------------------------------------------------
     def _local_mm(self, blocks, cols, X):
         A = BSRMatrix(blocks=blocks, cols=cols, n=self.n_local)

@@ -89,3 +89,29 @@ def test_dist_lobpcg_20_eigenpairs_2d(mesh):
     discrete = np.sort(dense[dense > 1e-8])[:20]
     assert res.converged, f"max res {res.residuals.max():.2e}"
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-6)
+
+
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_halo_checksum_mode(cav3d, mesh, dim):
+    """SURVEY.md §5.2 sanitizer analog: fast halo path == gather oracle.
+    2d exercises the shallow-halo ppermute path (H<=L); 3d the deep-halo
+    fallback."""
+    from jax.sharding import PartitionSpec as P
+
+    prob = RectCavity2D(nx=16, ny=16) if dim == "2d" else cav3d
+    dp = partition_problem(prob, D, block=8, dtype=jnp.float64)
+    if dim == "2d":
+        assert dp.H <= dp.L, "expected the ppermute fast path"
+    n_pad_g = dp.D * dp.L * dp.b
+    X = jax.random.normal(jax.random.PRNGKey(7), (n_pad_g, 3), jnp.float64)
+
+    body = lambda p, Xl: p.halo_checksum(Xl)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dp.partition_specs(), P(dp.axis, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    err = float(jax.jit(mapped)(dp, X))
+    assert err == 0.0, f"halo mismatch {err}"
