@@ -54,10 +54,14 @@ class DistPencil:
     outside shard_map and LOCAL inside it; methods are written for the local
     view. aux fields are static and identical on every shard."""
 
-    K_blocks: jax.Array  # (D*L, S, b, b) / local (L, S, b, b)
-    K_cols: jax.Array  # (D*L, S) int32, locally remapped
+    K_blocks: jax.Array  # INTERIOR part: (D*L, Si, b, b) / local (L, Si, b, b)
+    K_cols: jax.Array  # (D*L, Si) int32 in [0, L] (L = zero slot)
+    K_blocks_bnd: jax.Array  # BOUNDARY part: (D*L, Sb, b, b)
+    K_cols_bnd: jax.Array  # (D*L, Sb) int32 into the halo-extended layout
     M_blocks: jax.Array
     M_cols: jax.Array
+    M_blocks_bnd: jax.Array
+    M_cols_bnd: jax.Array
     head: jax.Array  # (D*L*b,) int32 global node ids (ghost = n_nodes)
     tail: jax.Array
     weight: jax.Array  # (D*L*b,)
@@ -78,8 +82,12 @@ class DistPencil:
         children = (
             self.K_blocks,
             self.K_cols,
+            self.K_blocks_bnd,
+            self.K_cols_bnd,
             self.M_blocks,
             self.M_cols,
+            self.M_blocks_bnd,
+            self.M_cols_bnd,
             self.head,
             self.tail,
             self.weight,
@@ -112,7 +120,8 @@ class DistPencil:
 
         row = P(self.axis)
         return DistPencil(
-            K_blocks=row, K_cols=row, M_blocks=row, M_cols=row,
+            K_blocks=row, K_cols=row, K_blocks_bnd=row, K_cols_bnd=row,
+            M_blocks=row, M_cols=row, M_blocks_bnd=row, M_cols_bnd=row,
             head=row, tail=row, weight=row,
             D=self.D, L=self.L, H=self.H, b=self.b,
             n_nodes=self.n_nodes, n=self.n, axis=self.axis,
@@ -220,23 +229,37 @@ class DistPencil:
         return jax.lax.pmax(jnp.max(jnp.abs(a - b)), self.axis)
 
     # --- operator applies --------------------------------------------------
-    def _local_mm(self, blocks, cols, X):
+    def _mm(self, blocks, cols, X):
         A = BSRMatrix(blocks=blocks, cols=cols, n=self.n_local)
-        Xf = self.exchange_halos(X)
-        vec = X.ndim == 1
         if self.kernel == "pallas":
             from maxwell_tpu.kernels.spmm import bsr_matmat_pallas
 
-            Y = bsr_matmat_pallas(A, Xf[:, None] if vec else Xf)
-        else:
-            Y = bsr_matmat_ref(A, Xf[:, None] if vec else Xf)
+            return bsr_matmat_pallas(A, X)
+        return bsr_matmat_ref(A, X)
+
+    def _local_mm(self, blocks_int, cols_int, blocks_bnd, cols_bnd, X):
+        """Overlapped apply (SURVEY.md §3.5): the interior product reads only
+        own rows (+ a zero slot) — no dataflow dependence on the halo
+        permutes — so XLA's scheduler can run the exchange concurrently;
+        the boundary product lands on the halo-extended buffer afterwards."""
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        zero = jnp.zeros((self.b, Xl.shape[1]), Xl.dtype)
+        Xz = jnp.concatenate([Xl, zero], axis=0)
+        Y = self._mm(blocks_int, cols_int, Xz)
+        Xf = self.exchange_halos(Xl)
+        Y = Y + self._mm(blocks_bnd, cols_bnd, Xf)
         return Y[:, 0] if vec else Y
 
     def K_mm(self, X):
-        return self._local_mm(self.K_blocks, self.K_cols, X)
+        return self._local_mm(
+            self.K_blocks, self.K_cols, self.K_blocks_bnd, self.K_cols_bnd, X
+        )
 
     def M_mm(self, X):
-        return self._local_mm(self.M_blocks, self.M_cols, X)
+        return self._local_mm(
+            self.M_blocks, self.M_cols, self.M_blocks_bnd, self.M_cols_bnd, X
+        )
 
     def KM_mm(self, X):
         """(K @ X, M @ X) with the two halo exchanges deterministically
@@ -370,6 +393,35 @@ def partition_problem(
     K_cols_local = remap(K_cols_np, nz_K)
     M_cols_local = remap(M_cols_np, nz_M)
 
+    # split interior (own-row cols -> overlappable with the halo exchange)
+    # from boundary (halo cols) — SURVEY.md §3.5 comm/compute overlap
+    def split_int_bnd(blocks_np, cols_local, nz):
+        nrows = cols_local.shape[0]
+        int_mask = (cols_local < L) & nz
+        bnd_mask = (cols_local >= L) & (cols_local < L + 2 * H) & nz
+
+        def pack(mask, pad_col):
+            counts = mask.sum(axis=1)
+            Sm = max(int(counts.max()) if nrows else 1, 1)
+            bi = np.zeros((nrows, Sm, b, b), dtype=blocks_np.dtype)
+            ci = np.full((nrows, Sm), pad_col, dtype=np.int32)
+            r_idx, s_idx = np.nonzero(mask)
+            first = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(counts, out=first[1:])
+            pos = np.arange(len(r_idx)) - first[r_idx]
+            ci[r_idx, pos] = cols_local[r_idx, s_idx]
+            bi[r_idx, pos] = blocks_np[r_idx, s_idx]
+            return bi, ci
+
+        # interior zero slot = L (the Xz layout [own | zero]);
+        # boundary zero slot = L + 2H (the halo-extended layout)
+        bi, ci = pack(int_mask, L)
+        bb, cb = pack(bnd_mask, L + 2 * H)
+        return bi, ci, bb, cb
+
+    K_bi, K_ci, K_bb, K_cb = split_int_bnd(K_blocks_np, K_cols_local, nz_K)
+    M_bi, M_ci, M_bb, M_cb = split_int_bnd(M_blocks_np, M_cols_local, nz_M)
+
     # per-edge projector data, sharded by row: global ids padded to nbr*b
     proj = GradientProjector.from_gradient(problem.G, nbr * b, dtype=dtype)
     n = problem.K.shape[0]
@@ -382,10 +434,14 @@ def partition_problem(
     weight[:n] = np.asarray(proj.weight)
 
     dp = DistPencil(
-        K_blocks=jnp.asarray(K_blocks_np, dtype=dtype),
-        K_cols=jnp.asarray(K_cols_local),
-        M_blocks=jnp.asarray(M_blocks_np, dtype=dtype),
-        M_cols=jnp.asarray(M_cols_local),
+        K_blocks=jnp.asarray(K_bi, dtype=dtype),
+        K_cols=jnp.asarray(K_ci),
+        K_blocks_bnd=jnp.asarray(K_bb, dtype=dtype),
+        K_cols_bnd=jnp.asarray(K_cb),
+        M_blocks=jnp.asarray(M_bi, dtype=dtype),
+        M_cols=jnp.asarray(M_ci),
+        M_blocks_bnd=jnp.asarray(M_bb, dtype=dtype),
+        M_cols_bnd=jnp.asarray(M_cb),
         head=jnp.asarray(head),
         tail=jnp.asarray(tail),
         weight=jnp.asarray(weight),
