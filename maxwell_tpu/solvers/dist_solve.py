@@ -17,6 +17,12 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from maxwell_tpu.dist.partition import DistPencil
+from maxwell_tpu.solvers.lanczos import (
+    _direct_apply,
+    _project_apply,
+    lanczos_factorization,
+    ritz_extract,
+)
 from maxwell_tpu.solvers.lobpcg import lobpcg_run
 from maxwell_tpu.solvers.precond import _precond_apply
 from maxwell_tpu.solvers.results import EigenResult
@@ -92,6 +98,71 @@ def lobpcg_dist(
         iterations=int(it),
         converged=bool(res.max() <= tol),
         history=history,
+    )
+
+
+def lanczos_dist(
+    dpencil: DistPencil,
+    mesh,
+    nev: int = 5,
+    maxiter: int = 100,
+    tol: float = 1e-8,
+    key: jax.Array | None = None,
+) -> EigenResult:
+    """Distributed direct-mode Lanczos: the SAME jit-ed factorization loop,
+    shard_mapped over the row mesh (SURVEY.md §2 C9; config-1 math at
+    config-4/5 scale)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    axis = dpencil.axis
+    n_pad_g = dpencil.D * dpencil.L * dpencil.b
+    v0 = jax.random.normal(key, (n_pad_g,), dtype=dpencil.dtype)
+    v0 = v0.at[dpencil.n :].set(0.0)
+
+    def body(p, v0_local):
+        v0p = p.project(v0_local)
+        apply_op = jax.tree_util.Partial(_direct_apply, p)
+        post = jax.tree_util.Partial(_project_apply, p)
+        return lanczos_factorization(apply_op, p, v0p, maxiter, post)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dpencil.partition_specs(), P(axis)),
+        out_specs=(P(), P(), P(None, axis), P(None, axis)),
+        check_vma=False,
+    )
+    alphas, betas, V, MV = jax.jit(mapped)(dpencil, v0)
+
+    lams, Y_sel, keff = ritz_extract(
+        np.asarray(alphas), np.asarray(betas), nev, tol, "direct"
+    )
+    Yd = jnp.asarray(Y_sel, dtype=dpencil.dtype)
+    X = V[:keff].T @ Yd  # (n_pad_g, nev), fully addressable on host
+
+    KX = spmm_dist(dpencil, mesh, X, which="K")
+    MX = spmm_dist(dpencil, mesh, X, which="M")
+    lam_d = jnp.asarray(lams, dtype=dpencil.dtype)
+    R = KX - MX * lam_d[None, :]
+    scale = jnp.linalg.norm(KX, axis=0) + jnp.abs(lam_d) * jnp.linalg.norm(
+        MX, axis=0
+    )
+    res = np.asarray(
+        jnp.linalg.norm(R, axis=0) / jnp.maximum(scale, 1e-30)
+    )
+
+    vecs = np.asarray(X[: dpencil.n])
+    perm = getattr(dpencil, "perm", None)
+    if perm is not None:
+        from maxwell_tpu.sparse.reorder import unpermute_rows
+
+        vecs = unpermute_rows(vecs, perm)
+    return EigenResult(
+        eigenvalues=np.asarray(lams),
+        eigenvectors=vecs,
+        residuals=res,
+        iterations=keff,
+        converged=bool(np.all(res <= tol)),
     )
 
 

@@ -107,6 +107,66 @@ def lanczos_factorization(
     return alphas, betas, V, MV
 
 
+def ritz_extract(
+    alphas: np.ndarray,
+    betas: np.ndarray,
+    nev: int,
+    tol: float,
+    mode: str,
+    sigma: float = 0.0,
+):
+    """Host-side Ritz selection from the tridiagonal T (shared by the
+    single-device and distributed drivers).
+
+    Returns (lams (nev,), Y_selected (keff, nev), keff). Keeps only
+    converged pairs (classic bound |beta_k y_k,i|); in direct mode drops
+    the residual lambda~0 nullspace junk that roundoff re-introduces.
+    """
+    a = np.asarray(alphas, dtype=np.float64)
+    b = np.asarray(betas, dtype=np.float64)
+    maxiter = len(a)
+
+    # effective Krylov size: stop at first (near-)breakdown
+    keff = maxiter
+    tiny = 1e-12 * max(np.abs(a).max(), 1.0)
+    for j in range(maxiter - 1):
+        if b[j] <= tiny:
+            keff = j + 1
+            break
+    theta, Y = scipy.linalg.eigh_tridiagonal(a[:keff], b[: keff - 1])
+
+    beta_last = b[keff - 1] if keff >= 1 else 0.0
+    est = np.abs(beta_last * Y[-1, :])
+    theta_max = max(np.abs(theta).max(), 1.0)
+    conv = est <= np.maximum(1e3 * tol * np.abs(theta), 1e-12 * theta_max)
+
+    if mode == "direct":
+        keep = conv & (theta > 1e-10 * theta_max)
+        idx = np.where(keep)[0]
+        order = idx[np.argsort(theta[idx])][:nev]
+        lams = theta[order]
+    elif mode == "shift_invert":
+        keep = conv & (np.abs(theta) > 1e-12 * theta_max)
+        idx = np.where(keep)[0]
+        order = idx[np.argsort(-np.abs(theta[idx]))][:nev]
+        lams = sigma + 1.0 / theta[order]
+        asc = np.argsort(lams)
+        order, lams = order[asc], lams[asc]
+    else:
+        raise ValueError(mode)
+    if len(order) < nev:
+        # not enough converged pairs: fall back to best unconverged ones so
+        # the caller still gets nev values (flagged via residuals/converged)
+        rest = np.setdiff1d(
+            np.argsort(theta if mode == "direct" else -np.abs(theta)), order
+        )[: nev - len(order)]
+        order = np.concatenate([order, rest])
+        lams = (
+            theta[order] if mode == "direct" else sigma + 1.0 / theta[order]
+        )
+    return lams, Y[:, order], keff
+
+
 def lanczos(
     pencil: Pencil,
     nev: int = 5,
@@ -145,52 +205,10 @@ def lanczos(
     alphas, betas, V, MV = lanczos_factorization(
         apply_op, pencil, v0, maxiter, post
     )
-    a = np.asarray(alphas, dtype=np.float64)
-    b = np.asarray(betas, dtype=np.float64)
-
-    # effective Krylov size: stop at first (near-)breakdown
-    keff = maxiter
-    tiny = 1e-12 * max(np.abs(a).max(), 1.0)
-    for j in range(maxiter - 1):
-        if b[j] <= tiny:
-            keff = j + 1
-            break
-    theta, Y = scipy.linalg.eigh_tridiagonal(a[:keff], b[: keff - 1])
-
-    # Ritz pair selection: keep only converged pairs (classic bound
-    # |beta_k y_k,i|), and in direct mode drop the residual lambda~0
-    # nullspace junk that roundoff re-introduces.
-    beta_last = b[keff - 1] if keff >= 1 else 0.0
-    est = np.abs(beta_last * Y[-1, :])
-    theta_max = max(np.abs(theta).max(), 1.0)
-    conv = est <= np.maximum(1e3 * tol * np.abs(theta), 1e-12 * theta_max)
-
-    if mode == "direct":
-        keep = conv & (theta > 1e-10 * theta_max)
-        idx = np.where(keep)[0]
-        order = idx[np.argsort(theta[idx])][:nev]
-        lams = theta[order]
-    elif mode == "shift_invert":
-        keep = conv & (np.abs(theta) > 1e-12 * theta_max)
-        idx = np.where(keep)[0]
-        order = idx[np.argsort(-np.abs(theta[idx]))][:nev]
-        lams = sigma + 1.0 / theta[order]
-        asc = np.argsort(lams)
-        order, lams = order[asc], lams[asc]
-    else:
-        raise ValueError(mode)
-    if len(order) < nev:
-        # not enough converged pairs: fall back to best unconverged ones so
-        # the caller still gets nev values (flagged via residuals/converged)
-        rest = np.setdiff1d(
-            np.argsort(theta if mode == "direct" else -np.abs(theta)), order
-        )[: nev - len(order)]
-        order = np.concatenate([order, rest])
-        lams = (
-            theta[order] if mode == "direct" else sigma + 1.0 / theta[order]
-        )
-
-    Yd = jnp.asarray(Y[:, order], dtype=pencil.dtype)
+    lams, Y_sel, keff = ritz_extract(
+        np.asarray(alphas), np.asarray(betas), nev, tol, mode, sigma
+    )
+    Yd = jnp.asarray(Y_sel, dtype=pencil.dtype)
     X = (V[:keff].T @ Yd)  # (n_pad, nev) Ritz vectors
 
     KX = pencil.K_mm(X)

@@ -115,3 +115,18 @@ def test_halo_checksum_mode(cav3d, mesh, dim):
     )
     err = float(jax.jit(mapped)(dp, X))
     assert err == 0.0, f"halo mismatch {err}"
+
+
+def test_dist_lanczos_2d(mesh):
+    """Distributed Lanczos (same factorization loop, shard_mapped)."""
+    from maxwell_tpu.solvers.dist_solve import lanczos_dist
+
+    cav = RectCavity2D(nx=16, ny=16)
+    dp = partition_problem(cav, D, block=8, dtype=jnp.float64)
+    res = lanczos_dist(dp, mesh, nev=5, maxiter=260, tol=1e-8)
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:5]
+    assert res.converged, f"residuals {res.residuals}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-8)
