@@ -166,18 +166,26 @@ def lanczos_dist(
     )
 
 
-def spmm_dist(dpencil: DistPencil, mesh, X: jax.Array, which: str = "K"):
-    """Sharded Y = K @ X (or M @ X) for parity testing: X global (n_pad, m)."""
-    axis = dpencil.axis
+@functools.lru_cache(maxsize=64)
+def _spmm_mapped(mesh, specs, axis, which):
+    """Cached jitted sharded SpMM (stable function identity -> one compile
+    per (mesh, layout) instead of one per call)."""
 
     def body(p, Xl):
         return p.K_mm(Xl) if which == "K" else p.M_mm(Xl)
 
-    mapped = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(dpencil.partition_specs(), P(axis, None)),
-        out_specs=P(axis, None),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
     )
-    return jax.jit(mapped)(dpencil, X)
+
+
+def spmm_dist(dpencil: DistPencil, mesh, X: jax.Array, which: str = "K"):
+    """Sharded Y = K @ X (or M @ X): X global (n_pad, m)."""
+    fn = _spmm_mapped(mesh, dpencil.partition_specs(), dpencil.axis, which)
+    return fn(dpencil, X)
