@@ -35,9 +35,22 @@ def _timeit(fn, iters=20, warmup=3):
 
 def main():
     import jax
+
+    try:
+        dev = jax.devices()[0]
+    except Exception as e:
+        # TPU (axon) tunnel unavailable — fall back to CPU so the bench
+        # still reports a structural number instead of crashing.
+        import sys
+
+        print(
+            f"backend init failed ({e!r}); falling back to CPU",
+            file=sys.stderr, flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
+        dev = jax.devices()[0]
     import jax.numpy as jnp
 
-    dev = jax.devices()[0]
     platform = dev.platform
     details = {"device": str(dev), "platform": platform}
 

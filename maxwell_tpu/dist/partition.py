@@ -146,14 +146,17 @@ class DistPencil:
         return self.K_blocks.dtype
 
     # --- reductions --------------------------------------------------------
+    def weigh(self, x):
+        return x  # block-row sharding has no replicated rows
+
     def dot_mm(self, A, B):
-        return jax.lax.psum(A.T @ B, self.axis)
+        return jax.lax.psum(A.T @ self.weigh(B), self.axis)
 
     def dot_cols(self, A, B):
-        return jax.lax.psum(jnp.sum(A * B, axis=0), self.axis)
+        return jax.lax.psum(jnp.sum(A * self.weigh(B), axis=0), self.axis)
 
     def dot_vv(self, x, y):
-        return jax.lax.psum(jnp.vdot(x, y), self.axis)
+        return jax.lax.psum(jnp.vdot(x, self.weigh(y)), self.axis)
 
     def reduce_rows(self, v):
         return jax.lax.psum(v, self.axis)

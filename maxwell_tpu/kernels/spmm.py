@@ -101,6 +101,92 @@ def bsr_matmat_pallas(
     )(A.cols, A.blocks, X)
 
 
+def _spmm_windowed_kernel(
+    wstart_ref, cols_ref, blocks_ref, xw0_ref, xw1_ref, o_ref, *, R, S, b, m, Wu
+):
+    # the two window panels cover rows [a*Wu*b, (a+2)*Wu*b) of X; cols_ref
+    # holds block-columns relative to a*Wu
+    xwin = jnp.concatenate([xw0_ref[:], xw1_ref[:]], axis=0)  # (2*Wu*b, m)
+    acc = jnp.zeros((R, b, m), jnp.float32)
+    for s in range(S):
+        panels = []
+        for r in range(R):
+            c = cols_ref[r, s]
+            panels.append(
+                jax.lax.dynamic_slice(
+                    xwin, (c * jnp.int32(b), jnp.int32(0)), (b, m)
+                )
+            )
+        xg = jnp.stack(panels)
+        acc = acc + jnp.einsum(
+            "rij,rjm->rim",
+            blocks_ref[:, s],
+            xg,
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = acc.reshape(R * b, m).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_matmat_pallas_windowed(
+    A: BSRMatrix, X: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Y = A @ X streaming X through per-tile aligned windows — no
+    X-in-VMEM limit. Requires window metadata (BSRMatrix.from_csr computes
+    it) and a bandwidth-reduced ordering for narrow windows.
+
+    The window fetch rides the NORMAL BlockSpec pipeline: two adjacent
+    (Wu*b, m) panels of X per tile, whose block indices come from the
+    scalar-prefetched win_start array — so Pallas double-buffers X panels,
+    cols and value tiles alike.
+    """
+    if A.win_start is None:
+        return bsr_matmat_ref(A, X)
+    n_pad, m = A.n_padded, X.shape[1]
+    b, S, nbr, Wu = A.b, A.slots, A.n_brows, A.win_unit
+    R = max(128 // b, 1)
+    if nbr % R != 0 or X.dtype != jnp.float32 or A.blocks.dtype != jnp.float32:
+        return bsr_matmat_ref(A, X)
+    n_tiles = nbr // R
+
+    # pad X up to a whole number of Wu panels, plus one spare panel so the
+    # (a+1) fetch at the right edge stays in bounds
+    x_rows = X.shape[0]
+    total = (-(-x_rows // (Wu * b)) + 1) * (Wu * b)
+    Xp = jnp.pad(X, ((0, total - x_rows), (0, 0)))
+
+    kernel = functools.partial(
+        _spmm_windowed_kernel, R=R, S=S, b=b, m=m, Wu=Wu
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((R, S), lambda i, ws: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, S, b, b), lambda i, ws: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Wu * b, m), lambda i, ws: (ws[i], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Wu * b, m),
+                lambda i, ws: (ws[i] + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R * b, m), lambda i, ws: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(A.win_start, A.cols_rel, A.blocks, Xp, Xp)
+
+
 def bsr_matvec_pallas(A: BSRMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x. The vector is widened to an (n, 8) panel so the kernel's
     lane dimension stays MXU/VPU-aligned; column 0 carries the data."""

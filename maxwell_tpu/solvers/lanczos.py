@@ -85,7 +85,7 @@ def lanczos_factorization(
         # (mask columns > j); MV rows are zero there so masking is free.
         def reorth(w):
             # (k+1,) partial contraction over local rows; rows > j are zero
-            coeffs = pencil.reduce_rows(MV @ w)
+            coeffs = pencil.reduce_rows(MV @ pencil.weigh(w))
             return w - V.T @ coeffs
 
         w = reorth(reorth(w))

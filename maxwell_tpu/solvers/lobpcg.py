@@ -90,9 +90,9 @@ def lobpcg_run(
         # one fused psum for all three norms (deterministic collective order)
         loc = jnp.stack(
             [
-                jnp.sum(KX * KX, axis=0),
-                jnp.sum(MX * MX, axis=0),
-                jnp.sum(R * R, axis=0),
+                jnp.sum(KX * pencil.weigh(KX), axis=0),
+                jnp.sum(MX * pencil.weigh(MX), axis=0),
+                jnp.sum(R * pencil.weigh(R), axis=0),
             ]
         )
         nKX, nMX, nR = jnp.sqrt(jnp.maximum(pencil.reduce_rows(loc), 0.0))

@@ -75,18 +75,25 @@ class Pencil:
         return self.K.blocks.dtype
 
     # --- reductions (overridden with psum variants by DistPencil) ---------
+    def weigh(self, x: jax.Array) -> jax.Array:
+        """Row ownership weights for inner products. Identity here; sharded
+        operators with REPLICATED interface rows (e.g. the slab-sharded
+        stencil pencil) override this to zero the non-owned copies so
+        global reductions count each DOF once."""
+        return x
+
     def dot_mm(self, A: jax.Array, B: jax.Array) -> jax.Array:
         """(m, k) <- A^T B over the row axis — THE cross-device reduction
         of Gram/RR matrices (psum over ICI in the distributed pencil,
         SURVEY.md §2 C7)."""
-        return A.T @ B
+        return A.T @ self.weigh(B)
 
     def dot_cols(self, A: jax.Array, B: jax.Array) -> jax.Array:
         """(m,) <- column-wise inner products."""
-        return jnp.sum(A * B, axis=0)
+        return jnp.sum(A * self.weigh(B), axis=0)
 
     def dot_vv(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        return jnp.vdot(x, y)
+        return jnp.vdot(x, self.weigh(y))
 
     def reduce_rows(self, v: jax.Array) -> jax.Array:
         """Finish a partial row-contraction (identity on one device)."""

@@ -35,6 +35,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _window_metadata(blocks_np: np.ndarray, cols_np: np.ndarray, b: int):
+    """Per-tile aligned X-window metadata for the windowed Pallas kernel.
+
+    Tile = R block rows (R*b = 128). win_unit W_u = the max per-tile column
+    span; window starts are aligned DOWN to W_u so the kernel can fetch two
+    adjacent (W_u*b)-row panels of X through the standard BlockSpec pipeline
+    (offsets are multiples of the block shape). Narrow windows require a
+    bandwidth-reduced ordering (sparse/reorder.py).
+    Returns (win_start (n_tiles,), cols_rel (nbr, S), W_u) or (None, None, 0).
+    """
+    R = max(128 // b, 1)
+    nbr, S = cols_np.shape
+    if nbr % R != 0 or nbr == 0:
+        return None, None, 0
+    n_tiles = nbr // R
+    nz = np.abs(blocks_np).max(axis=(2, 3)) > 0  # (nbr, S)
+    cols_t = cols_np.reshape(n_tiles, R * S)
+    nz_t = nz.reshape(n_tiles, R * S)
+    big = np.where(nz_t, cols_t, np.iinfo(np.int32).max)
+    small = np.where(nz_t, cols_t, -1)
+    cmin = np.minimum(big.min(axis=1), nbr - 1)  # empty tiles -> clamp
+    cmax = small.max(axis=1)
+    span = np.maximum(cmax - cmin + 1, 1)
+    W_u = int(span.max())
+    aligned = (cmin // W_u).astype(np.int32)  # in W_u units
+    # relative columns; padding (zero) blocks clamp to 0
+    aligned_per_row = np.repeat(aligned, R)  # (nbr,)
+    rel = cols_np - aligned_per_row[:, None] * W_u
+    rel = np.where(nz, rel, 0).astype(np.int32)
+    if rel.min() < 0 or (rel[nz] >= 2 * W_u).any():
+        return None, None, 0
+    return aligned, rel, W_u
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class BSRMatrix:
@@ -49,15 +83,28 @@ class BSRMatrix:
     blocks: jax.Array
     cols: jax.Array
     n: int
+    # windowed-kernel metadata (optional; filled by from_csr). win_start:
+    # (n_tiles,) int32 aligned window index per R-block-row tile; cols_rel:
+    # (n_brows, S) int32 columns relative to the tile's aligned window start;
+    # win_unit: window unit in block rows (aux). See kernels/spmm.py.
+    win_start: jax.Array | None = None
+    cols_rel: jax.Array | None = None
+    win_unit: int = 0
 
     # --- pytree plumbing -------------------------------------------------
     def tree_flatten(self):
-        return (self.blocks, self.cols), (self.n,)
+        return (self.blocks, self.cols, self.win_start, self.cols_rel), (
+            self.n,
+            self.win_unit,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        blocks, cols = children
-        return cls(blocks=blocks, cols=cols, n=aux[0])
+        blocks, cols, win_start, cols_rel = children
+        return cls(
+            blocks=blocks, cols=cols, n=aux[0],
+            win_start=win_start, cols_rel=cols_rel, win_unit=aux[1],
+        )
 
     # --- derived shapes --------------------------------------------------
     @property
@@ -88,21 +135,23 @@ class BSRMatrix:
         block: int = 8,
         align_slots: int | None = None,
         dtype=jnp.float32,
-        row_align: int = 1,
+        row_align: int | None = None,
     ) -> "BSRMatrix":
         """Convert a scipy sparse matrix to blocked-ELL.
 
         align_slots: round the slot count S up to this multiple (default:
         chosen so S*b is a multiple of 128, MXU-aligning the contraction).
-        row_align: round the block-row count up to this multiple (e.g.
-        n_shards * 16 so the matrix splits evenly into Pallas-tileable
-        shards — SURVEY.md §2 C15).
+        row_align: round the block-row count up to this multiple (default:
+        one 128-row Pallas tile; pass n_shards * tile so the matrix splits
+        evenly into shards — SURVEY.md §2 C15).
         """
         A = sp.csr_matrix(A)
         n = A.shape[0]
         if A.shape[0] != A.shape[1]:
             raise ValueError("square matrices only")
         b = block
+        if row_align is None:
+            row_align = max(128 // b, 1)
         n_pad = _round_up(max(n, 1), b)
         n_brows = _round_up(n_pad // b, row_align)
         n_pad = n_brows * b
@@ -145,10 +194,14 @@ class BSRMatrix:
             blocks, cols, _ = native.bell_from_csr(
                 A_pad.indptr, A_pad.indices, A_pad.data, n_pad, b, S
             )
+            ws, rel, wu = _window_metadata(blocks, cols, b)
             return BSRMatrix(
                 blocks=jnp.asarray(blocks, dtype=dtype),
                 cols=jnp.asarray(cols),
                 n=n,
+                win_start=None if ws is None else jnp.asarray(ws),
+                cols_rel=None if rel is None else jnp.asarray(rel),
+                win_unit=wu,
             )
 
         # fallback: scipy BSR + python packing
@@ -167,10 +220,14 @@ class BSRMatrix:
             k = hi - lo
             blocks[r, :k] = data[lo:hi]
             cols[r, :k] = indices[lo:hi]
+        ws, rel, wu = _window_metadata(blocks, cols, b)
         return BSRMatrix(
             blocks=jnp.asarray(blocks, dtype=dtype),
             cols=jnp.asarray(cols),
             n=n,
+            win_start=None if ws is None else jnp.asarray(ws),
+            cols_rel=None if rel is None else jnp.asarray(rel),
+            win_unit=wu,
         )
 
     def to_csr(self) -> sp.csr_matrix:
