@@ -71,6 +71,9 @@ class StencilPencil2D:
         return self.mask.dtype
 
     # --- reductions (single-device; Dist variant would psum) --------------
+    def weigh(self, x):
+        return x
+
     def dot_mm(self, A, B):
         return A.T @ B
 

@@ -68,6 +68,9 @@ class StencilPencil3D:
         return self.mask.dtype
 
     # --- reductions -------------------------------------------------------
+    def weigh(self, x):
+        return x
+
     def dot_mm(self, A, B):
         return A.T @ B
 
