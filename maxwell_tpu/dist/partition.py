@@ -130,6 +130,26 @@ class DistPencil:
             proj_iters=self.proj_iters,
         )
 
+    # --- host-side driver support -----------------------------------------
+    @property
+    def global_rows(self) -> int:
+        return self.D * self.L * self.b
+
+    def make_block(self, key, m: int):
+        """Random start block in the stacked global layout (host side)."""
+        X0 = jax.random.normal(key, (self.global_rows, m), dtype=self.dtype)
+        return X0.at[self.n :].set(0.0)
+
+    def extract_vectors(self, X_stacked: np.ndarray) -> np.ndarray:
+        """Stacked global solution rows -> original problem ordering."""
+        vecs = np.asarray(X_stacked)[: self.n]
+        perm = getattr(self, "perm", None)
+        if perm is not None:
+            from maxwell_tpu.sparse.reorder import unpermute_rows
+
+            vecs = unpermute_rows(vecs, perm)
+        return vecs
+
     # --- local shapes (inside shard_map) ----------------------------------
     @property
     def n_local(self) -> int:

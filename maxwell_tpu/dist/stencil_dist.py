@@ -1,0 +1,480 @@
+"""Slab-sharded assembly-free 3D pencil (SURVEY.md §2 C2+C8 combined: the
+matrix-free speed-of-light apply at pod scale).
+
+Decomposition: the x-axis cell range splits into D slabs of `cells` cells.
+Per device, edge fields live on local grids
+
+    Ex (cells,   ny+1, nz+1)   — x-edges are cell-centered in x: fully owned
+    Ey (cells+1, ny,   nz+1)   — y/z-edges live on x-planes; the interface
+    Ez (cells+1, ny+1, nz)       plane is REPLICATED with the right neighbor
+
+and similarly nodes (cells+1, ny+1, nz+1). The apply needs NO input halo
+(cells touch only their own planes); instead the OUTPUT partial sums at the
+two interface planes are combined by one neighbor ppermute pair per field —
+the FEM overlapping-slab scheme. Inner products weight the replicated plane
+to zero (`weigh`), so every DOF counts once in psums.
+
+The gradient projector runs on slab-distributed node vectors with the same
+interface-sum exchange and ownership weights — nothing is replicated
+globally, so memory and comm scale with the slab surface, not the volume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxwell_tpu.dist.partition import _after
+from maxwell_tpu.solvers.cg import cg
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistStencilPencil3D:
+    """Slab-sharded matrix-free pencil. Array leaves are stacked over shards
+    outside shard_map and local inside; methods are written for the local
+    view."""
+
+    mask: jax.Array  # (D*n_loc_pad,) PEC mask per local edge
+    w_dot: jax.Array  # (D*n_loc_pad,) ownership weight (iface plane = 0)
+    Ke: jax.Array  # (12,12) replicated
+    Me: jax.Array
+    head: jax.Array  # (D*n_loc_pad,) local node id per edge (ghost=nn_loc)
+    tail: jax.Array
+    gweight: jax.Array  # (D*n_loc_pad,) +-1/h gradient weights (0 on pad)
+    node_mask: jax.Array  # (D*nn_loc,) interior-node mask
+    node_w: jax.Array  # (D*nn_loc,) node ownership weight
+    ax: float
+    by: float
+    cz: float
+    nx: int
+    ny: int
+    nz: int
+    cells: int  # slab width (cells per device)
+    D: int
+    n_loc: int  # local edge count (unpadded)
+    n_loc_pad: int
+    nn_loc: int  # local node count
+    axis: str = "rows"
+    mass_tol: float = 1e-12
+    mass_iters: int = 300
+    proj_tol: float = 1e-12
+    proj_iters: int = 400
+
+    def tree_flatten(self):
+        ch = (
+            self.mask, self.w_dot, self.Ke, self.Me, self.head, self.tail,
+            self.gweight, self.node_mask, self.node_w,
+        )
+        aux = (
+            self.ax, self.by, self.cz, self.nx, self.ny, self.nz,
+            self.cells, self.D, self.n_loc, self.n_loc_pad, self.nn_loc,
+            self.axis, self.mass_tol, self.mass_iters, self.proj_tol,
+            self.proj_iters,
+        )
+        return ch, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, *aux)
+
+    def partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        row, rep = P(self.axis), P()
+        return DistStencilPencil3D(
+            mask=row, w_dot=row, Ke=rep, Me=rep, head=row, tail=row,
+            gweight=row, node_mask=row, node_w=row,
+            ax=self.ax, by=self.by, cz=self.cz, nx=self.nx, ny=self.ny,
+            nz=self.nz, cells=self.cells, D=self.D, n_loc=self.n_loc,
+            n_loc_pad=self.n_loc_pad, nn_loc=self.nn_loc, axis=self.axis,
+            mass_tol=self.mass_tol, mass_iters=self.mass_iters,
+            proj_tol=self.proj_tol, proj_iters=self.proj_iters,
+        )
+
+    # --- protocol: shapes/dtype -------------------------------------------
+    @property
+    def n_padded(self):
+        return self.n_loc_pad
+
+    @property
+    def n(self):
+        return self.n_loc
+
+    @property
+    def dtype(self):
+        return self.mask.dtype
+
+    # --- reductions --------------------------------------------------------
+    def weigh(self, x):
+        w = self.w_dot if x.ndim == 1 else self.w_dot[:, None]
+        return w * x
+
+    def dot_mm(self, A, B):
+        return jax.lax.psum(A.T @ self.weigh(B), self.axis)
+
+    def dot_cols(self, A, B):
+        return jax.lax.psum(jnp.sum(A * self.weigh(B), axis=0), self.axis)
+
+    def dot_vv(self, x, y):
+        return jax.lax.psum(jnp.vdot(x, self.weigh(y)), self.axis)
+
+    def reduce_rows(self, v):
+        return jax.lax.psum(v, self.axis)
+
+    def col_norms(self, A):
+        return jnp.sqrt(jnp.maximum(self.dot_cols(A, A), 0.0))
+
+    # --- grids -------------------------------------------------------------
+    @property
+    def _sizes(self):
+        c, ny, nz = self.cells, self.ny, self.nz
+        return (
+            c * (ny + 1) * (nz + 1),
+            (c + 1) * ny * (nz + 1),
+            (c + 1) * (ny + 1) * nz,
+        )
+
+    def _to_grids(self, X):
+        c, ny, nz = self.cells, self.ny, self.nz
+        sx, sy, sz = self._sizes
+        m = X.shape[1]
+        Ex = X[:sx].reshape(c, ny + 1, nz + 1, m)
+        Ey = X[sx : sx + sy].reshape(c + 1, ny, nz + 1, m)
+        Ez = X[sx + sy : self.n_loc].reshape(c + 1, ny + 1, nz, m)
+        return Ex, Ey, Ez
+
+    def _from_grids(self, Ex, Ey, Ez, m):
+        out = jnp.concatenate(
+            [Ex.reshape(-1, m), Ey.reshape(-1, m), Ez.reshape(-1, m)], axis=0
+        )
+        pad = self.n_loc_pad - self.n_loc
+        if pad:
+            out = jnp.pad(out, ((0, pad), (0, 0)))
+        return out
+
+    # --- interface partial-sum exchange ------------------------------------
+    def _iface_sum(self, A, dep=None):
+        """A (c+1, ..., m) holds partial sums whose first/last planes are
+        shared with neighbors; one ppermute pair completes them on BOTH
+        copies (invariant: interface planes stay consistent)."""
+        right_perm = [(d, d + 1) for d in range(self.D - 1)]
+        left_perm = [(d + 1, d) for d in range(self.D - 1)]
+        last = A[-1]
+        if dep is not None:
+            last = _after(last, dep)
+        from_left = jax.lax.ppermute(last, self.axis, right_perm)
+        from_right = jax.lax.ppermute(
+            _after(A[0], from_left), self.axis, left_perm
+        )
+        return A.at[0].add(from_left).at[-1].add(from_right), from_right
+
+    # --- element apply -----------------------------------------------------
+    def _element_apply(self, E, X):
+        vec = X.ndim == 1
+        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+        m = Xl.shape[1]
+        c, ny, nz = self.cells, self.ny, self.nz
+        Ex, Ey, Ez = self._to_grids(Xl)
+
+        panels = [
+            Ex[:, 0:ny, 0:nz], Ex[:, 1 : ny + 1, 0:nz],
+            Ex[:, 0:ny, 1 : nz + 1], Ex[:, 1 : ny + 1, 1 : nz + 1],
+            Ey[0:c, :, 0:nz], Ey[1 : c + 1, :, 0:nz],
+            Ey[0:c, :, 1 : nz + 1], Ey[1 : c + 1, :, 1 : nz + 1],
+            Ez[0:c, 0:ny, :], Ez[1 : c + 1, 0:ny, :],
+            Ez[0:c, 1 : ny + 1, :], Ez[1 : c + 1, 1 : ny + 1, :],
+        ]
+        G = jnp.stack(panels)
+        Y = jnp.einsum("ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype)
+
+        Yx = jnp.zeros_like(Ex)
+        Yy = jnp.zeros_like(Ey)
+        Yz = jnp.zeros_like(Ez)
+        Yx = Yx.at[:, 0:ny, 0:nz].add(Y[0])
+        Yx = Yx.at[:, 1 : ny + 1, 0:nz].add(Y[1])
+        Yx = Yx.at[:, 0:ny, 1 : nz + 1].add(Y[2])
+        Yx = Yx.at[:, 1 : ny + 1, 1 : nz + 1].add(Y[3])
+        Yy = Yy.at[0:c, :, 0:nz].add(Y[4])
+        Yy = Yy.at[1 : c + 1, :, 0:nz].add(Y[5])
+        Yy = Yy.at[0:c, :, 1 : nz + 1].add(Y[6])
+        Yy = Yy.at[1 : c + 1, :, 1 : nz + 1].add(Y[7])
+        Yz = Yz.at[0:c, 0:ny, :].add(Y[8])
+        Yz = Yz.at[1 : c + 1, 0:ny, :].add(Y[9])
+        Yz = Yz.at[0:c, 1 : ny + 1, :].add(Y[10])
+        Yz = Yz.at[1 : c + 1, 1 : ny + 1, :].add(Y[11])
+
+        # complete the interface partial sums (sequenced collectives)
+        Yy, dep = self._iface_sum(Yy)
+        Yz, _ = self._iface_sum(Yz, dep=dep)
+
+        out = self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None]
+        return out[:, 0] if vec else out
+
+    def K_mm(self, X):
+        return self._element_apply(self.Ke, X)
+
+    def M_mm(self, X):
+        return self._element_apply(self.Me, X)
+
+    def KM_mm(self, X):
+        KX = self.K_mm(X)
+        MX = self.M_mm(_after(X, KX))
+        return KX, MX
+
+    def Minv_mm(self, X):
+        return cg(
+            self.M_mm, X, tol=self.mass_tol, maxiter=self.mass_iters,
+            dot=self.dot_cols,
+        )
+
+    # --- gradient projector (slab-distributed nodes) ------------------------
+    def _node_dot(self, x, y):
+        w = self.node_w if x.ndim == 1 else self.node_w[:, None]
+        return jax.lax.psum(jnp.sum(x * w * y, axis=0), self.axis)
+
+    def _g_mm(self, phi):
+        """(n_loc_pad, m) <- G phi, phi (nn_loc, m) interface-consistent."""
+        w = self.gweight if phi.ndim == 1 else self.gweight[:, None]
+        zero = jnp.zeros((1,) + phi.shape[1:], phi.dtype)
+        phi_ext = jnp.concatenate([phi, zero], axis=0)
+        return w * (phi_ext[self.head] - phi_ext[self.tail])
+
+    def _gt_mm(self, y):
+        """(nn_loc, m) <- G^T y with interface partial-sum exchange."""
+        w = self.gweight if y.ndim == 1 else self.gweight[:, None]
+        wy = w * y
+        m = y.shape[1] if y.ndim > 1 else 1
+        wy2 = wy if y.ndim > 1 else wy[:, None]
+        out = jnp.zeros((self.nn_loc + 1, m), y.dtype)
+        out = out.at[self.head].add(wy2)
+        out = out.at[self.tail].add(-wy2)
+        out = out[:-1]
+        c, ny, nz = self.cells, self.ny, self.nz
+        grid = out.reshape(c + 1, (ny + 1) * (nz + 1), m)
+        grid, _ = self._iface_sum(grid)
+        out = grid.reshape(self.nn_loc, m)
+        out = out * self.node_mask[:, None]
+        return out[:, 0] if y.ndim == 1 else out
+
+    def project(self, X):
+        vec = X.ndim == 1
+        Xm = (X[:, None] if vec else X) * self.mask[:, None]
+        nmask = self.node_mask[:, None]
+
+        def L_mm(phi):
+            return nmask * self._gt_mm(self.M_mm(self._g_mm(nmask * phi)))
+
+        rhs = nmask * self._gt_mm(self.M_mm(Xm))
+        q = cg(
+            L_mm, rhs, tol=self.proj_tol, maxiter=self.proj_iters,
+            dot=self._node_dot,
+        )
+        out = Xm - self._g_mm(q) * self.mask[:, None]
+        return out[:, 0] if vec else out
+
+    # --- construction -------------------------------------------------------
+    @staticmethod
+    def build(
+        a=1.0, b=1.0, c_len=1.0, nx=8, ny=8, nz=8, D=8,
+        dtype=jnp.float32, block: int = 8, axis: str = "rows",
+    ) -> "DistStencilPencil3D":
+        from maxwell_tpu.problems.cavity3d import hex_element_matrices
+
+        if nx % D != 0:
+            raise ValueError("nx must be divisible by the shard count")
+        cells = nx // D
+        hx, hy, hz = a / nx, b / ny, c_len / nz
+        Ke, Me = hex_element_matrices(hx, hy, hz)
+
+        sx = cells * (ny + 1) * (nz + 1)
+        sy = (cells + 1) * ny * (nz + 1)
+        sz = (cells + 1) * (ny + 1) * nz
+        n_loc = sx + sy + sz
+        n_loc_pad = _round_up(n_loc, block * max(128 // block, 1))
+        nn_loc = (cells + 1) * (ny + 1) * (nz + 1)
+
+        dt = np.dtype(dtype)
+        mask = np.zeros((D, n_loc_pad), dtype=dt)
+        w_dot = np.zeros((D, n_loc_pad), dtype=dt)
+        head = np.full((D, n_loc_pad), nn_loc, dtype=np.int32)
+        tail = np.full((D, n_loc_pad), nn_loc, dtype=np.int32)
+        gweight = np.zeros((D, n_loc_pad), dtype=dt)
+        node_mask = np.zeros((D, nn_loc), dtype=dt)
+        node_w = np.zeros((D, nn_loc), dtype=dt)
+
+        # local index helpers (row-major as in _to_grids)
+        def ex_id(i, j, k):
+            return (i * (ny + 1) + j) * (nz + 1) + k
+
+        def ey_id(i, j, k):
+            return sx + (i * ny + j) * (nz + 1) + k
+
+        def ez_id(i, j, k):
+            return sx + sy + (i * (ny + 1) + j) * nz + k
+
+        def node_id(i, j, k):
+            return (i * (ny + 1) + j) * (nz + 1) + k
+
+        for d in range(D):
+            x0 = d * cells  # global x-plane of local plane 0
+            # --- Ex: local cell rows i -> global cell x0+i ----------------
+            xi, xj, xk = np.meshgrid(
+                np.arange(cells), np.arange(ny + 1), np.arange(nz + 1),
+                indexing="ij",
+            )
+            ids = ex_id(xi, xj, xk).reshape(-1)
+            keep = (
+                (xj != 0) & (xj != ny) & (xk != 0) & (xk != nz)
+            ).reshape(-1)
+            mask[d, ids] = keep
+            w_dot[d, ids] = keep  # fully owned
+            head[d, ids] = node_id(xi + 1, xj, xk).reshape(-1)
+            tail[d, ids] = node_id(xi, xj, xk).reshape(-1)
+            gweight[d, ids] = keep / hx
+            # --- Ey: local planes i -> global plane x0+i -------------------
+            yi, yj, yk = np.meshgrid(
+                np.arange(cells + 1), np.arange(ny), np.arange(nz + 1),
+                indexing="ij",
+            )
+            gx = yi + x0
+            ids = ey_id(yi, yj, yk).reshape(-1)
+            keep = (
+                (gx != 0) & (gx != nx) & (yk != 0) & (yk != nz)
+            ).reshape(-1)
+            mask[d, ids] = keep
+            owned = keep & (yi != cells).reshape(-1)
+            w_dot[d, ids] = owned
+            head[d, ids] = node_id(yi, yj + 1, yk).reshape(-1)
+            tail[d, ids] = node_id(yi, yj, yk).reshape(-1)
+            gweight[d, ids] = keep / hy
+            # --- Ez --------------------------------------------------------
+            zi, zj, zk = np.meshgrid(
+                np.arange(cells + 1), np.arange(ny + 1), np.arange(nz),
+                indexing="ij",
+            )
+            gx = zi + x0
+            ids = ez_id(zi, zj, zk).reshape(-1)
+            keep = (
+                (gx != 0) & (gx != nx) & (zj != 0) & (zj != ny)
+            ).reshape(-1)
+            mask[d, ids] = keep
+            owned = keep & (zi != cells).reshape(-1)
+            w_dot[d, ids] = owned
+            head[d, ids] = node_id(zi, zj, zk + 1).reshape(-1)
+            tail[d, ids] = node_id(zi, zj, zk).reshape(-1)
+            gweight[d, ids] = keep / hz
+            # --- nodes -----------------------------------------------------
+            ni, nj, nk = np.meshgrid(
+                np.arange(cells + 1), np.arange(ny + 1), np.arange(nz + 1),
+                indexing="ij",
+            )
+            gx = ni + x0
+            ids = node_id(ni, nj, nk).reshape(-1)
+            interior = (
+                (gx > 0) & (gx < nx)
+                & (nj > 0) & (nj < ny)
+                & (nk > 0) & (nk < nz)
+            ).reshape(-1)
+            node_mask[d, ids] = interior
+            node_w[d, ids] = interior & (ni != cells).reshape(-1)
+
+        return DistStencilPencil3D(
+            mask=jnp.asarray(mask.reshape(-1)),
+            w_dot=jnp.asarray(w_dot.reshape(-1)),
+            Ke=jnp.asarray(Ke, dtype=dtype),
+            Me=jnp.asarray(Me, dtype=dtype),
+            head=jnp.asarray(head.reshape(-1)),
+            tail=jnp.asarray(tail.reshape(-1)),
+            gweight=jnp.asarray(gweight.reshape(-1)),
+            node_mask=jnp.asarray(node_mask.reshape(-1)),
+            node_w=jnp.asarray(node_w.reshape(-1)),
+            ax=a, by=b, cz=c_len, nx=nx, ny=ny, nz=nz,
+            cells=cells, D=D, n_loc=n_loc, n_loc_pad=n_loc_pad,
+            nn_loc=nn_loc, axis=axis,
+        )
+
+    # --- host-side driver support -------------------------------------------
+    @property
+    def global_rows(self) -> int:
+        return self.D * self.n_loc_pad
+
+    @property
+    def n_full(self) -> int:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        return (
+            nx * (ny + 1) * (nz + 1)
+            + (nx + 1) * ny * (nz + 1)
+            + (nx + 1) * (ny + 1) * nz
+        )
+
+    def make_block(self, key, m: int):
+        """Random start block: generated in the GLOBAL stencil layout and
+        scattered so interface copies are consistent."""
+        xg = np.asarray(
+            jax.random.normal(key, (self.n_full, m), dtype=self.dtype)
+        )
+        return jnp.asarray(self.scatter_vector(xg))
+
+    def extract_vectors(self, X_stacked: np.ndarray) -> np.ndarray:
+        return self.gather_vector(np.asarray(X_stacked))
+
+    # --- host-side layout conversion ----------------------------------------
+    def scatter_vector(self, x_full: np.ndarray) -> np.ndarray:
+        """Global StencilPencil3D-layout (n_full, m) -> stacked local
+        (D*n_loc_pad, m) with consistent interface copies."""
+        nx, ny, nz, c = self.nx, self.ny, self.nz, self.cells
+        sxg = nx * (ny + 1) * (nz + 1)
+        syg = (nx + 1) * ny * (nz + 1)
+        x_full = np.asarray(x_full)
+        m = x_full.shape[1] if x_full.ndim > 1 else 1
+        xf = x_full.reshape(-1, m)
+        Ex = xf[:sxg].reshape(nx, ny + 1, nz + 1, m)
+        Ey = xf[sxg : sxg + syg].reshape(nx + 1, ny, nz + 1, m)
+        Ez = xf[sxg + syg :].reshape(nx + 1, ny + 1, nz, m)
+        out = np.zeros((self.D, self.n_loc_pad, m), dtype=xf.dtype)
+        for d in range(self.D):
+            x0 = d * c
+            loc = np.concatenate(
+                [
+                    Ex[x0 : x0 + c].reshape(-1, m),
+                    Ey[x0 : x0 + c + 1].reshape(-1, m),
+                    Ez[x0 : x0 + c + 1].reshape(-1, m),
+                ],
+                axis=0,
+            )
+            out[d, : self.n_loc] = loc
+        out = out.reshape(self.D * self.n_loc_pad, m)
+        return out[:, 0] if x_full.ndim == 1 else out
+
+    def gather_vector(self, x_stacked: np.ndarray) -> np.ndarray:
+        """Inverse of scatter_vector (owned entries win)."""
+        nx, ny, nz, c = self.nx, self.ny, self.nz, self.cells
+        xs = np.asarray(x_stacked)
+        m = xs.shape[1] if xs.ndim > 1 else 1
+        xs2 = xs.reshape(self.D, self.n_loc_pad, m)
+        sx, sy, sz = self._sizes
+        Ex = np.zeros((nx, ny + 1, nz + 1, m), dtype=xs.dtype)
+        Ey = np.zeros((nx + 1, ny, nz + 1, m), dtype=xs.dtype)
+        Ez = np.zeros((nx + 1, ny + 1, nz, m), dtype=xs.dtype)
+        for d in range(self.D):
+            x0 = d * c
+            loc = xs2[d]
+            Ex[x0 : x0 + c] = loc[:sx].reshape(c, ny + 1, nz + 1, m)
+            Ey[x0 : x0 + c + 1] = loc[sx : sx + sy].reshape(
+                c + 1, ny, nz + 1, m
+            )
+            Ez[x0 : x0 + c + 1] = loc[sx + sy : self.n_loc].reshape(
+                c + 1, ny + 1, nz, m
+            )
+        out = np.concatenate(
+            [Ex.reshape(-1, m), Ey.reshape(-1, m), Ez.reshape(-1, m)], axis=0
+        )
+        return out[:, 0] if xs.ndim == 1 else out

@@ -58,9 +58,7 @@ def lobpcg_dist(
     if key is None:
         key = jax.random.PRNGKey(0)
     axis = dpencil.axis
-    n_pad_g = dpencil.D * dpencil.L * dpencil.b
-    X0 = jax.random.normal(key, (n_pad_g, m), dtype=dpencil.dtype)
-    X0 = X0.at[dpencil.n :].set(0.0)
+    X0 = dpencil.make_block(key, m)
 
     run = functools.partial(
         _run_local,
@@ -85,12 +83,7 @@ def lobpcg_dist(
         {"iter": i, "max_rel_res": float(h)}
         for i, h in enumerate(np.asarray(hist)[: int(it)])
     ]
-    vecs = np.asarray(X[: dpencil.n, :nev])
-    perm = getattr(dpencil, "perm", None)
-    if perm is not None:
-        from maxwell_tpu.sparse.reorder import unpermute_rows
-
-        vecs = unpermute_rows(vecs, perm)
+    vecs = dpencil.extract_vectors(np.asarray(X)[:, :nev])
     return EigenResult(
         eigenvalues=theta,
         eigenvectors=vecs,

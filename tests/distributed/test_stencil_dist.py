@@ -1,0 +1,85 @@
+"""Slab-sharded matrix-free 3D pencil: parity vs the single-device stencil
+and a full distributed eigensolve (SURVEY.md §2 C2+C8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+from jax.sharding import PartitionSpec as P
+
+from maxwell_tpu.dist import make_mesh
+from maxwell_tpu.dist.stencil_dist import DistStencilPencil3D
+from maxwell_tpu.problems import BrickCavity3D
+from maxwell_tpu.problems.stencil3d import StencilPencil3D
+
+D = 8
+NX, NY, NZ = 16, 5, 4
+
+
+@pytest.fixture(scope="module")
+def pair():
+    sp_dist = DistStencilPencil3D.build(
+        a=1.0, b=1.1, c_len=0.9, nx=NX, ny=NY, nz=NZ, D=D, dtype=jnp.float64
+    )
+    sp_single = StencilPencil3D.build(
+        a=1.0, b=1.1, c=0.9, nx=NX, ny=NY, nz=NZ, dtype=jnp.float64
+    )
+    mesh = make_mesh(D)
+    return sp_dist, sp_single, mesh
+
+
+def _apply_dist(sp_dist, mesh, X_stacked, which):
+    def body(p, Xl):
+        return p.K_mm(Xl) if which == "K" else p.M_mm(Xl)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(sp_dist.partition_specs(), P(sp_dist.axis, None)),
+        out_specs=P(sp_dist.axis, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(sp_dist, X_stacked)
+
+
+@pytest.mark.parametrize("which", ["K", "M"])
+def test_dist_stencil_apply_parity(pair, which):
+    sp_dist, sp_single, mesh = pair
+    rng = np.random.default_rng(0)
+    Xg = rng.standard_normal((sp_dist.n_full, 3))
+    Xs = jnp.asarray(sp_dist.scatter_vector(Xg))
+
+    Y_dist = sp_dist.gather_vector(np.asarray(_apply_dist(sp_dist, mesh, Xs, which)))
+
+    Xf = jnp.asarray(
+        np.pad(Xg, ((0, sp_single.n_padded - sp_single.n), (0, 0)))
+    )
+    Y_single = np.asarray(
+        sp_single.K_mm(Xf) if which == "K" else sp_single.M_mm(Xf)
+    )[: sp_single.n]
+    np.testing.assert_allclose(Y_dist, Y_single, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_stencil_roundtrip(pair):
+    sp_dist, _, _ = pair
+    rng = np.random.default_rng(1)
+    Xg = rng.standard_normal((sp_dist.n_full, 2))
+    back = sp_dist.gather_vector(sp_dist.scatter_vector(Xg))
+    np.testing.assert_allclose(back, Xg, rtol=0, atol=0)
+
+
+def test_dist_stencil_lobpcg(pair):
+    from maxwell_tpu.solvers.dist_solve import lobpcg_dist
+
+    sp_dist, _, mesh = pair
+    cav = BrickCavity3D(a=1.0, b=1.1, c=0.9, nx=NX, ny=NY, nz=NZ)
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:3]
+    res = lobpcg_dist(
+        sp_dist, mesh, nev=3, maxiter=80, tol=1e-8, precond_alpha=15.0
+    )
+    assert res.converged, f"residuals {res.residuals}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
