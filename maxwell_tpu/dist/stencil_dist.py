@@ -177,11 +177,13 @@ class DistStencilPencil3D:
         return A.at[0].add(from_left).at[-1].add(from_right), from_right
 
     # --- element apply -----------------------------------------------------
-    def _element_apply(self, E, X):
-        vec = X.ndim == 1
-        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+    def _element_apply_multi(self, E, X):
+        """Stacked element apply ((12k, 12) E -> k outputs) with ONE panel
+        gather and one interface exchange round per output field."""
+        Xl = X * self.mask[:, None]
         m = Xl.shape[1]
         c, ny, nz = self.cells, self.ny, self.nz
+        k = E.shape[0] // 12
         Ex, Ey, Ez = self._to_grids(Xl)
 
         panels = [
@@ -195,28 +197,41 @@ class DistStencilPencil3D:
         G = jnp.stack(panels)
         Y = jnp.einsum("ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype)
 
-        Yx = jnp.zeros_like(Ex)
-        Yy = jnp.zeros_like(Ey)
-        Yz = jnp.zeros_like(Ez)
-        Yx = Yx.at[:, 0:ny, 0:nz].add(Y[0])
-        Yx = Yx.at[:, 1 : ny + 1, 0:nz].add(Y[1])
-        Yx = Yx.at[:, 0:ny, 1 : nz + 1].add(Y[2])
-        Yx = Yx.at[:, 1 : ny + 1, 1 : nz + 1].add(Y[3])
-        Yy = Yy.at[0:c, :, 0:nz].add(Y[4])
-        Yy = Yy.at[1 : c + 1, :, 0:nz].add(Y[5])
-        Yy = Yy.at[0:c, :, 1 : nz + 1].add(Y[6])
-        Yy = Yy.at[1 : c + 1, :, 1 : nz + 1].add(Y[7])
-        Yz = Yz.at[0:c, 0:ny, :].add(Y[8])
-        Yz = Yz.at[1 : c + 1, 0:ny, :].add(Y[9])
-        Yz = Yz.at[0:c, 1 : ny + 1, :].add(Y[10])
-        Yz = Yz.at[1 : c + 1, 1 : ny + 1, :].add(Y[11])
+        outs = []
+        dep = None
+        for j in range(k):
+            Yj = Y[12 * j : 12 * (j + 1)]
+            Yx = jnp.zeros_like(Ex)
+            Yy = jnp.zeros_like(Ey)
+            Yz = jnp.zeros_like(Ez)
+            Yx = Yx.at[:, 0:ny, 0:nz].add(Yj[0])
+            Yx = Yx.at[:, 1 : ny + 1, 0:nz].add(Yj[1])
+            Yx = Yx.at[:, 0:ny, 1 : nz + 1].add(Yj[2])
+            Yx = Yx.at[:, 1 : ny + 1, 1 : nz + 1].add(Yj[3])
+            Yy = Yy.at[0:c, :, 0:nz].add(Yj[4])
+            Yy = Yy.at[1 : c + 1, :, 0:nz].add(Yj[5])
+            Yy = Yy.at[0:c, :, 1 : nz + 1].add(Yj[6])
+            Yy = Yy.at[1 : c + 1, :, 1 : nz + 1].add(Yj[7])
+            Yz = Yz.at[0:c, 0:ny, :].add(Yj[8])
+            Yz = Yz.at[1 : c + 1, 0:ny, :].add(Yj[9])
+            Yz = Yz.at[0:c, 1 : ny + 1, :].add(Yj[10])
+            Yz = Yz.at[1 : c + 1, 1 : ny + 1, :].add(Yj[11])
 
-        # complete the interface partial sums (sequenced collectives)
-        Yy, dep = self._iface_sum(Yy)
-        Yz, _ = self._iface_sum(Yz, dep=dep)
+            # complete the interface partial sums (sequenced collectives)
+            Yy, dep = self._iface_sum(Yy, dep=dep)
+            Yz, dep = self._iface_sum(Yz, dep=dep)
 
-        out = self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None]
+            outs.append(self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None])
+        return jnp.stack(outs)
+
+    def _element_apply(self, E, X):
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        out = self._element_apply_multi(E, Xl)[0]
         return out[:, 0] if vec else out
+
+    def _element_apply2(self, E2, X):
+        return self._element_apply_multi(E2, X)
 
     def K_mm(self, X):
         return self._element_apply(self.Ke, X)
@@ -225,9 +240,10 @@ class DistStencilPencil3D:
         return self._element_apply(self.Me, X)
 
     def KM_mm(self, X):
-        KX = self.K_mm(X)
-        MX = self.M_mm(_after(X, KX))
-        return KX, MX
+        # fused: one panel gather + one (24x12) contraction for K and M
+        E2 = jnp.concatenate([self.Ke, self.Me], axis=0)
+        Y2 = self._element_apply2(E2, X)
+        return Y2[0], Y2[1]
 
     def Minv_mm(self, X):
         return cg(

@@ -38,12 +38,20 @@ import scipy.sparse as sp
 
 @dataclass
 class RectCavity2D:
-    """2D rectangular cavity discretized with lowest-order edge elements."""
+    """2D rectangular cavity discretized with lowest-order edge elements.
+
+    eps_r / mu_r: optional (nx, ny) per-cell relative permittivity /
+    permeability. The eigenproblem becomes curl (1/mu_r) curl E =
+    k^2 eps_r E; uniform (None) reproduces the vacuum cavity whose modes
+    the analytic oracle describes.
+    """
 
     a: float = 1.0
     b: float = 1.0
     nx: int = 16
     ny: int = 16
+    eps_r: "np.ndarray | None" = None
+    mu_r: "np.ndarray | None" = None
 
     # filled by __post_init__
     n_edges: int = field(init=False)
@@ -77,16 +85,26 @@ class RectCavity2D:
             [[m2, np.zeros((2, 2))], [np.zeros((2, 2)), m2]]
         )
 
-        # --- global assembly (COO scatter) ---------------------------------
+        # --- global assembly (COO scatter; per-cell material scaling) ------
         rows = np.repeat(elems, 4, axis=1).ravel()
         cols = np.tile(elems, (1, 4)).ravel()
         ncells = elems.shape[0]
+        inv_mu = (
+            np.ones(ncells)
+            if self.mu_r is None
+            else 1.0 / np.asarray(self.mu_r)[ci, cj]
+        )
+        eps = (
+            np.ones(ncells)
+            if self.eps_r is None
+            else np.asarray(self.eps_r)[ci, cj]
+        )
         K_full = sp.coo_matrix(
-            (np.tile(Ke.ravel(), ncells), (rows, cols)),
+            ((inv_mu[:, None] * Ke.ravel()[None, :]).ravel(), (rows, cols)),
             shape=(n_edges_full, n_edges_full),
         ).tocsr()
         M_full = sp.coo_matrix(
-            (np.tile(Me.ravel(), ncells), (rows, cols)),
+            ((eps[:, None] * Me.ravel()[None, :]).ravel(), (rows, cols)),
             shape=(n_edges_full, n_edges_full),
         ).tocsr()
 

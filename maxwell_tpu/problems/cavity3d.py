@@ -84,6 +84,10 @@ class BrickCavity3D:
     nx: int = 8
     ny: int = 8
     nz: int = 8
+    # optional (nx, ny, nz) per-cell materials: curl (1/mu_r) curl E =
+    # k^2 eps_r E (uniform/None = vacuum cavity, analytic oracle valid)
+    eps_r: "np.ndarray | None" = None
+    mu_r: "np.ndarray | None" = None
 
     n_edges: int = field(init=False)
     keep: np.ndarray = field(init=False)
@@ -135,11 +139,23 @@ class BrickCavity3D:
         rows = np.repeat(elems, 12, axis=1).ravel()
         cols = np.tile(elems, (1, 12)).ravel()
         ncells = elems.shape[0]
+        inv_mu = (
+            np.ones(ncells)
+            if self.mu_r is None
+            else 1.0 / np.asarray(self.mu_r)[ci, cj, ck]
+        )
+        eps = (
+            np.ones(ncells)
+            if self.eps_r is None
+            else np.asarray(self.eps_r)[ci, cj, ck]
+        )
         K_full = sp.coo_matrix(
-            (np.tile(Ke.ravel(), ncells), (rows, cols)), shape=(n_full, n_full)
+            ((inv_mu[:, None] * Ke.ravel()[None, :]).ravel(), (rows, cols)),
+            shape=(n_full, n_full),
         ).tocsr()
         M_full = sp.coo_matrix(
-            (np.tile(Me.ravel(), ncells), (rows, cols)), shape=(n_full, n_full)
+            ((eps[:, None] * Me.ravel()[None, :]).ravel(), (rows, cols)),
+            shape=(n_full, n_full),
         ).tocsr()
 
         # PEC: drop edges lying on any wall they are tangential to

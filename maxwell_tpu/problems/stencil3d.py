@@ -51,17 +51,21 @@ class StencilPencil3D:
     n_padded: int
     mass_tol: float = 1e-12
     mass_iters: int = 300
+    # optional per-cell materials (nx, ny, nz): curl (1/mu_r) curl E =
+    # k^2 eps_r E
+    inv_mu: jax.Array | None = None
+    eps: jax.Array | None = None
 
     def tree_flatten(self):
-        return (self.mask, self.Ke, self.Me, self.proj), (
+        return (self.mask, self.Ke, self.Me, self.proj, self.inv_mu, self.eps), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mask, Ke, Me, proj = children
-        return cls(mask, Ke, Me, proj, *aux)
+        mask, Ke, Me, proj, inv_mu, eps = children
+        return cls(mask, Ke, Me, proj, *aux, inv_mu=inv_mu, eps=eps)
 
     @property
     def dtype(self):
@@ -115,14 +119,18 @@ class StencilPencil3D:
         return out
 
     # --- the element apply (shared by K and M) ----------------------------
-    def _element_apply(self, E, X):
-        """Y = A X where A assembles the (12x12) element matrix E over all
-        cells. Local edge order MUST match problems.cavity3d.
-        hex_element_matrices: 0-3 x(b,g), 4-7 y(a,g), 8-11 z(a,b)."""
-        vec = X.ndim == 1
-        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+    def _element_apply_multi(self, E, X, scales=None):
+        """Y_j = A_j X for each stacked (12x12) element matrix (E is
+        (12k, 12)); one panel gather serves all k operators. scales: tuple
+        of per-cell (nx, ny, nz) material coefficients (or None) per output.
+        Local edge order MUST match problems.cavity3d.hex_element_matrices:
+        0-3 x(b,g), 4-7 y(a,g), 8-11 z(a,b). Returns (k, n_padded, m)."""
+        Xl = X * self.mask[:, None]
         m = Xl.shape[1]
         nx, ny, nz = self.nx, self.ny, self.nz
+        k = E.shape[0] // 12
+        if scales is None:
+            scales = (None,) * k
         Ex, Ey, Ez = self._to_grids(Xl)
 
         panels = [
@@ -138,33 +146,46 @@ class StencilPencil3D:
             "ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype
         )
 
-        Yx = jnp.zeros_like(Ex)
-        Yy = jnp.zeros_like(Ey)
-        Yz = jnp.zeros_like(Ez)
-        Yx = Yx.at[:, 0:ny, 0:nz].add(Y[0])
-        Yx = Yx.at[:, 1 : ny + 1, 0:nz].add(Y[1])
-        Yx = Yx.at[:, 0:ny, 1 : nz + 1].add(Y[2])
-        Yx = Yx.at[:, 1 : ny + 1, 1 : nz + 1].add(Y[3])
-        Yy = Yy.at[0:nx, :, 0:nz].add(Y[4])
-        Yy = Yy.at[1 : nx + 1, :, 0:nz].add(Y[5])
-        Yy = Yy.at[0:nx, :, 1 : nz + 1].add(Y[6])
-        Yy = Yy.at[1 : nx + 1, :, 1 : nz + 1].add(Y[7])
-        Yz = Yz.at[0:nx, 0:ny, :].add(Y[8])
-        Yz = Yz.at[1 : nx + 1, 0:ny, :].add(Y[9])
-        Yz = Yz.at[0:nx, 1 : ny + 1, :].add(Y[10])
-        Yz = Yz.at[1 : nx + 1, 1 : ny + 1, :].add(Y[11])
+        outs = []
+        for j in range(k):
+            Yj = Y[12 * j : 12 * (j + 1)]
+            if scales[j] is not None:
+                Yj = Yj * scales[j][None, :, :, :, None]
+            Yx = jnp.zeros_like(Ex)
+            Yy = jnp.zeros_like(Ey)
+            Yz = jnp.zeros_like(Ez)
+            Yx = Yx.at[:, 0:ny, 0:nz].add(Yj[0])
+            Yx = Yx.at[:, 1 : ny + 1, 0:nz].add(Yj[1])
+            Yx = Yx.at[:, 0:ny, 1 : nz + 1].add(Yj[2])
+            Yx = Yx.at[:, 1 : ny + 1, 1 : nz + 1].add(Yj[3])
+            Yy = Yy.at[0:nx, :, 0:nz].add(Yj[4])
+            Yy = Yy.at[1 : nx + 1, :, 0:nz].add(Yj[5])
+            Yy = Yy.at[0:nx, :, 1 : nz + 1].add(Yj[6])
+            Yy = Yy.at[1 : nx + 1, :, 1 : nz + 1].add(Yj[7])
+            Yz = Yz.at[0:nx, 0:ny, :].add(Yj[8])
+            Yz = Yz.at[1 : nx + 1, 0:ny, :].add(Yj[9])
+            Yz = Yz.at[0:nx, 1 : ny + 1, :].add(Yj[10])
+            Yz = Yz.at[1 : nx + 1, 1 : ny + 1, :].add(Yj[11])
+            outs.append(self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None])
+        return jnp.stack(outs)
 
-        out = self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None]
+    def _element_apply(self, E, X, scale=None):
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        out = self._element_apply_multi(E, Xl, scales=(scale,))[0]
         return out[:, 0] if vec else out
 
     def K_mm(self, X):
-        return self._element_apply(self.Ke, X)
+        return self._element_apply(self.Ke, X, scale=self.inv_mu)
 
     def M_mm(self, X):
-        return self._element_apply(self.Me, X)
+        return self._element_apply(self.Me, X, scale=self.eps)
 
     def KM_mm(self, X):
-        return self.K_mm(X), self.M_mm(X)
+        # fused: one panel gather + one (24x12) contraction for K and M
+        E2 = jnp.concatenate([self.Ke, self.Me], axis=0)
+        Y2 = self._element_apply_multi(E2, X, scales=(self.inv_mu, self.eps))
+        return Y2[0], Y2[1]
 
     def Minv_mm(self, X):
         return cg(
@@ -183,6 +204,7 @@ class StencilPencil3D:
     def build(
         a=1.0, b=1.0, c=1.0, nx=8, ny=8, nz=8,
         dtype=jnp.float32, block: int = 8,
+        eps_r=None, mu_r=None,
     ) -> "StencilPencil3D":
         import scipy.sparse as sp
 
@@ -274,4 +296,8 @@ class StencilPencil3D:
             Me=jnp.asarray(Me, dtype=dtype),
             proj=proj,
             a=a, b=b, c=c, nx=nx, ny=ny, nz=nz, n=n, n_padded=n_padded,
+            inv_mu=None if mu_r is None else jnp.asarray(
+                1.0 / np.asarray(mu_r), dtype=dtype
+            ),
+            eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
         )

@@ -108,9 +108,7 @@ def lanczos_dist(
     if key is None:
         key = jax.random.PRNGKey(0)
     axis = dpencil.axis
-    n_pad_g = dpencil.D * dpencil.L * dpencil.b
-    v0 = jax.random.normal(key, (n_pad_g,), dtype=dpencil.dtype)
-    v0 = v0.at[dpencil.n :].set(0.0)
+    v0 = dpencil.make_block(key, 1)[:, 0]
 
     def body(p, v0_local):
         v0p = p.project(v0_local)
@@ -144,12 +142,7 @@ def lanczos_dist(
         jnp.linalg.norm(R, axis=0) / jnp.maximum(scale, 1e-30)
     )
 
-    vecs = np.asarray(X[: dpencil.n])
-    perm = getattr(dpencil, "perm", None)
-    if perm is not None:
-        from maxwell_tpu.sparse.reorder import unpermute_rows
-
-        vecs = unpermute_rows(vecs, perm)
+    vecs = dpencil.extract_vectors(np.asarray(X))
     return EigenResult(
         eigenvalues=np.asarray(lams),
         eigenvectors=vecs,

@@ -144,3 +144,48 @@ def test_stencil3d_lobpcg(pair3d):
     res = lobpcg(stp, nev=3, maxiter=100, tol=1e-9, precond=pc)
     assert res.converged, f"residuals {res.residuals}"
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
+
+
+def test_stencil3d_materials_match_assembled():
+    """Per-cell eps_r/mu_r: stencil apply == assembled matrices."""
+    rng = np.random.default_rng(11)
+    nx, ny, nz = 4, 3, 3
+    eps_r = 1.0 + rng.random((nx, ny, nz))
+    mu_r = 1.0 + rng.random((nx, ny, nz))
+    cav = BrickCavity3D(nx=nx, ny=ny, nz=nz, eps_r=eps_r, mu_r=mu_r)
+    stp = StencilPencil3D.build(
+        nx=nx, ny=ny, nz=nz, dtype=jnp.float64, eps_r=eps_r, mu_r=mu_r
+    )
+    n_xe = nx * (ny + 1) * (nz + 1)
+    n_ye = (nx + 1) * ny * (nz + 1)
+
+    def conv(e):
+        if e < n_xe:
+            i = e % nx
+            j = (e // nx) % (ny + 1)
+            k = e // (nx * (ny + 1))
+            return (i * (ny + 1) + j) * (nz + 1) + k
+        e2 = e - n_xe
+        if e2 < n_ye:
+            i = e2 % (nx + 1)
+            j = (e2 // (nx + 1)) % ny
+            k = e2 // ((nx + 1) * ny)
+            return n_xe + (i * ny + j) * (nz + 1) + k
+        e3 = e2 - n_ye
+        i = e3 % (nx + 1)
+        j = (e3 // (nx + 1)) % (ny + 1)
+        k = e3 // ((nx + 1) * (ny + 1))
+        return n_xe + n_ye + (i * (ny + 1) + j) * nz + k
+
+    idx = np.array([conv(e) for e in cav.keep])
+    Xk = rng.standard_normal((cav.n_edges, 2))
+    Xf = np.zeros((stp.n_padded, 2))
+    Xf[idx] = Xk
+    YK = np.asarray(stp.K_mm(jnp.asarray(Xf)))
+    YM = np.asarray(stp.M_mm(jnp.asarray(Xf)))
+    np.testing.assert_allclose(YK[idx], cav.K @ Xk, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(YM[idx], cav.M @ Xk, rtol=1e-12, atol=1e-12)
+    # fused path consistent too
+    K2, M2 = stp.KM_mm(jnp.asarray(Xf))
+    np.testing.assert_allclose(np.asarray(K2), YK, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(M2), YM, atol=1e-13)
