@@ -189,3 +189,25 @@ def test_stencil3d_materials_match_assembled():
     K2, M2 = stp.KM_mm(jnp.asarray(Xf))
     np.testing.assert_allclose(np.asarray(K2), YK, atol=1e-13)
     np.testing.assert_allclose(np.asarray(M2), YM, atol=1e-13)
+
+
+def test_materials_eigensolve():
+    """Dielectric-loaded cavity: LOBPCG on material matrices vs dense oracle;
+    eigenvalues shift DOWN versus vacuum (higher eps)."""
+    nx, ny, nz = 5, 4, 4
+    eps_r = np.ones((nx, ny, nz))
+    eps_r[: nx // 2] = 4.0  # half-filled dielectric
+    cav = BrickCavity3D(nx=nx, ny=ny, nz=nz, eps_r=eps_r)
+    from maxwell_tpu.solvers import Pencil, lobpcg
+
+    pencil = Pencil.from_problem(cav, block=8, dtype=jnp.float64)
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:3]
+    pc = shifted_cg_preconditioner(pencil, alpha=float(discrete[0]), iters=20)
+    res = lobpcg(pencil, nev=3, maxiter=120, tol=1e-8, precond=pc)
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
+    vacuum = BrickCavity3D(nx=nx, ny=ny, nz=nz).analytic_eigenvalues(1)[0]
+    assert res.eigenvalues[0] < vacuum  # dielectric pulls modes down
