@@ -107,15 +107,41 @@ def main(argv=None):
             precond_iters=scfg.get("precond_iters", 20),
         )
     else:
-        from maxwell_tpu.solvers.operator import Pencil
+        pcfg = cfg.get("problem", {})
+        if stg.get("operator") == "stencil":
+            # assembly-free matrix-free operator (tensor grids only)
+            if pcfg.get("kind", "rect2d") == "rect2d":
+                from maxwell_tpu.problems.stencil2d import StencilPencil2D
 
-        pencil = Pencil.from_problem(
-            problem, block=block, kernel=kernel, dtype=dtype
-        )
+                pencil = StencilPencil2D.build(
+                    a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
+                    nx=pcfg.get("nx", 16), ny=pcfg.get("ny", 16),
+                    dtype=dtype, block=block,
+                )
+            else:
+                from maxwell_tpu.problems.stencil3d import StencilPencil3D
+
+                pencil = StencilPencil3D.build(
+                    a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
+                    c=pcfg.get("c", 1.0), nx=pcfg.get("nx", 8),
+                    ny=pcfg.get("ny", 8), nz=pcfg.get("nz", 8),
+                    dtype=dtype, block=block,
+                )
+        else:
+            from maxwell_tpu.solvers.operator import Pencil
+
+            pencil = Pencil.from_problem(
+                problem, block=block, kernel=kernel, dtype=dtype
+            )
         if kind == "lanczos":
             from maxwell_tpu.solvers import lanczos
 
             res = lanczos(pencil, nev=nev, maxiter=maxiter, tol=tol)
+        elif kind == "shift_invert" and stg.get("operator") == "stencil":
+            raise ValueError(
+                "shift_invert needs assembled matrices (factorization); "
+                "drop storage.operator=stencil"
+            )
         elif kind == "shift_invert":
             from maxwell_tpu.solvers.shift_invert import shift_invert_lanczos
 

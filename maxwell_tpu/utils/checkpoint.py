@@ -19,7 +19,8 @@ def save_state(path: str, *, X, theta, iteration: int, meta: dict | None = None)
     """Atomically persist solver state."""
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    # NB: np.savez appends ".npz" unless the name already ends with it
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     os.close(fd)
     try:
         np.savez(
