@@ -54,17 +54,20 @@ class StencilPencil2D:
     n_padded: int
     mass_tol: float = 1e-12
     mass_iters: int = 300
+    # optional per-cell materials (nx, ny)
+    inv_mu: jax.Array | None = None
+    eps: jax.Array | None = None
 
     def tree_flatten(self):
-        return (self.mask, self.proj), (
+        return (self.mask, self.proj, self.inv_mu, self.eps), (
             self.a, self.b, self.nx, self.ny, self.n, self.n_padded,
             self.mass_tol, self.mass_iters,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mask, proj = children
-        return cls(mask, proj, *aux)
+        mask, proj, inv_mu, eps = children
+        return cls(mask, proj, *aux, inv_mu=inv_mu, eps=eps)
 
     @property
     def dtype(self):
@@ -128,6 +131,8 @@ class StencilPencil2D:
             + (Ey[1:, :] - Ey[:-1, :]) / hx
         )
         w = area * u
+        if self.inv_mu is not None:
+            w = w * self.inv_mu[:, :, None]
         Yx = jnp.zeros_like(Ex)
         Yy = jnp.zeros_like(Ey)
         Yx = Yx.at[:, :-1].add(w / hy)  # bottom edges
@@ -149,14 +154,15 @@ class StencilPencil2D:
         Ex, Ey = self._to_grids(Xl)
         # x-edges couple along y (cells above/below); per cell:
         # [b t] -> c3*b + c6*t contributions
+        ep = 1.0 if self.eps is None else self.eps[:, :, None]
         Yx = jnp.zeros_like(Ex)
         bot, top = Ex[:, :-1], Ex[:, 1:]
-        Yx = Yx.at[:, :-1].add(c3 * bot + c6 * top)
-        Yx = Yx.at[:, 1:].add(c6 * bot + c3 * top)
+        Yx = Yx.at[:, :-1].add(ep * (c3 * bot + c6 * top))
+        Yx = Yx.at[:, 1:].add(ep * (c6 * bot + c3 * top))
         Yy = jnp.zeros_like(Ey)
         left, right = Ey[:-1, :], Ey[1:, :]
-        Yy = Yy.at[:-1, :].add(c3 * left + c6 * right)
-        Yy = Yy.at[1:, :].add(c6 * left + c3 * right)
+        Yy = Yy.at[:-1, :].add(ep * (c3 * left + c6 * right))
+        Yy = Yy.at[1:, :].add(ep * (c6 * left + c3 * right))
         out = self._from_grids(Yx, Yy, m) * self.mask[:, None]
         return out[:, 0] if vec else out
 
@@ -181,7 +187,8 @@ class StencilPencil2D:
     # --- construction -----------------------------------------------------
     @staticmethod
     def build(
-        a=1.0, b=1.0, nx=16, ny=16, dtype=jnp.float32, block: int = 8
+        a=1.0, b=1.0, nx=16, ny=16, dtype=jnp.float32, block: int = 8,
+        eps_r=None, mu_r=None,
     ) -> "StencilPencil2D":
         n_xe = nx * (ny + 1)
         n_ye = (nx + 1) * ny
@@ -243,4 +250,8 @@ class StencilPencil2D:
             mask=jnp.asarray(mask),
             proj=proj,
             a=a, b=b, nx=nx, ny=ny, n=n, n_padded=n_padded,
+            inv_mu=None if mu_r is None else jnp.asarray(
+                1.0 / np.asarray(mu_r), dtype=dtype
+            ),
+            eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
         )

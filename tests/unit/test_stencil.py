@@ -211,3 +211,36 @@ def test_materials_eigensolve():
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
     vacuum = BrickCavity3D(nx=nx, ny=ny, nz=nz).analytic_eigenvalues(1)[0]
     assert res.eigenvalues[0] < vacuum  # dielectric pulls modes down
+
+
+def test_stencil2d_materials_match_assembled():
+    rng = np.random.default_rng(13)
+    nx, ny = 6, 5
+    eps_r = 1.0 + rng.random((nx, ny))
+    mu_r = 1.0 + rng.random((nx, ny))
+    cav = RectCavity2D(nx=nx, ny=ny, eps_r=eps_r, mu_r=mu_r)
+    stp = StencilPencil2D.build(
+        nx=nx, ny=ny, dtype=jnp.float64, eps_r=eps_r, mu_r=mu_r
+    )
+    n_xe = nx * (ny + 1)
+
+    def conv(e):
+        if e < n_xe:
+            i, j = e % nx, e // nx
+            return i * (ny + 1) + j
+        e -= n_xe
+        i, j = e % (nx + 1), e // (nx + 1)
+        return n_xe + i * ny + j
+
+    idx = np.array([conv(e) for e in cav.keep])
+    Xk = rng.standard_normal((cav.n_edges, 2))
+    Xf = np.zeros((stp.n_padded, 2))
+    Xf[idx] = Xk
+    np.testing.assert_allclose(
+        np.asarray(stp.K_mm(jnp.asarray(Xf)))[idx], cav.K @ Xk,
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stp.M_mm(jnp.asarray(Xf)))[idx], cav.M @ Xk,
+        rtol=1e-12, atol=1e-12,
+    )
