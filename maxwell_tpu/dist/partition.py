@@ -150,6 +150,17 @@ class DistPencil:
             vecs = unpermute_rows(vecs, perm)
         return vecs
 
+    def inject_vectors(self, X_orig: np.ndarray):
+        """Inverse of extract_vectors: original ordering -> stacked rows
+        (for checkpoint resume)."""
+        X = np.asarray(X_orig)
+        perm = getattr(self, "perm", None)
+        if perm is not None:
+            X = X[perm]
+        out = np.zeros((self.global_rows,) + X.shape[1:], X.dtype)
+        out[: self.n] = X
+        return jnp.asarray(out, dtype=self.dtype)
+
     # --- local shapes (inside shard_map) ----------------------------------
     @property
     def n_local(self) -> int:

@@ -442,6 +442,12 @@ class DistStencilPencil3D:
     def extract_vectors(self, X_stacked: np.ndarray) -> np.ndarray:
         return self.gather_vector(np.asarray(X_stacked))
 
+    def inject_vectors(self, X_orig: np.ndarray):
+        """Original (global stencil) ordering -> stacked local layout."""
+        return jnp.asarray(
+            self.scatter_vector(np.asarray(X_orig)), dtype=self.dtype
+        )
+
     # --- host-side layout conversion ----------------------------------------
     def scatter_vector(self, x_full: np.ndarray) -> np.ndarray:
         """Global StencilPencil3D-layout (n_full, m) -> stacked local

@@ -50,15 +50,28 @@ def lobpcg_dist(
     key: jax.Array | None = None,
     precond_alpha: float | None = None,
     precond_iters: int = 20,
+    checkpoint: str | None = None,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
-    with gathered eigenvectors."""
+    with gathered eigenvectors. checkpoint: resume/save the Ritz block
+    (SURVEY.md §5.4) — vectors stored in the ORIGINAL problem ordering, so
+    checkpoints are portable across shard counts."""
     if m is None:
         m = nev + max(4, nev // 2)
     if key is None:
         key = jax.random.PRNGKey(0)
     axis = dpencil.axis
-    X0 = dpencil.make_block(key, m)
+    X0 = None
+    prev_iters = 0
+    if checkpoint is not None:
+        from maxwell_tpu.utils.checkpoint import load_state
+
+        state = load_state(checkpoint)
+        if state is not None and state["X"].shape[1] == m:
+            X0 = dpencil.inject_vectors(state["X"])
+            prev_iters = state["iteration"]
+    if X0 is None:
+        X0 = dpencil.make_block(key, m)
 
     run = functools.partial(
         _run_local,
@@ -77,10 +90,20 @@ def lobpcg_dist(
     )
     theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0)
 
+    if checkpoint is not None:
+        from maxwell_tpu.utils.checkpoint import save_state
+
+        save_state(
+            checkpoint,
+            X=dpencil.extract_vectors(np.asarray(X)),
+            theta=np.asarray(theta),
+            iteration=prev_iters + int(it),
+        )
+
     theta = np.asarray(theta)[:nev]
     res = np.asarray(res)[:nev]
     history = [
-        {"iter": i, "max_rel_res": float(h)}
+        {"iter": prev_iters + i, "max_rel_res": float(h)}
         for i, h in enumerate(np.asarray(hist)[: int(it)])
     ]
     vecs = dpencil.extract_vectors(np.asarray(X)[:, :nev])
@@ -88,7 +111,7 @@ def lobpcg_dist(
         eigenvalues=theta,
         eigenvectors=vecs,
         residuals=res,
-        iterations=int(it),
+        iterations=prev_iters + int(it),
         converged=bool(res.max() <= tol),
         history=history,
     )

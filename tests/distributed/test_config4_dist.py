@@ -130,3 +130,24 @@ def test_dist_lanczos_2d(mesh):
     discrete = np.sort(dense[dense > 1e-8])[:5]
     assert res.converged, f"residuals {res.residuals}"
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-8)
+
+
+def test_dist_lobpcg_checkpoint_resume(mesh, tmp_path):
+    from maxwell_tpu.solvers.dist_solve import lobpcg_dist
+
+    cav = RectCavity2D(nx=16, ny=16)
+    dp = partition_problem(cav, D, block=8, dtype=jnp.float64)
+    ckpt = str(tmp_path / "dist.npz")
+    r1 = lobpcg_dist(
+        dp, mesh, nev=4, maxiter=12, tol=1e-9, precond_alpha=10.0,
+        checkpoint=ckpt,
+    )
+    assert not r1.converged
+    r2 = lobpcg_dist(
+        dp, mesh, nev=4, maxiter=40, tol=1e-9, precond_alpha=10.0,
+        checkpoint=ckpt,
+    )
+    assert r2.converged
+    # cold start needs ~17-20 iterations; resuming from a 12-iteration
+    # block (P direction lost) must clearly beat that
+    assert r2.iterations - r1.iterations < 12
