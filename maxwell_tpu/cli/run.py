@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--maxiter", type=int, default=None)
     ap.add_argument("--checkpoint", default=None, help="state file for save/resume")
+    ap.add_argument(
+        "--save-eigenvectors", default=None,
+        help="write eigenpairs (values + vectors) to this .npz",
+    )
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -92,9 +96,22 @@ def main(argv=None):
         from maxwell_tpu.solvers.dist_solve import lobpcg_dist
 
         D = cfg.get("dist", {}).get("n_shards", len(jax.devices()))
-        dp = partition_problem(
-            problem, D, block=block, kernel=kernel, dtype=dtype
-        )
+        pcfg = cfg.get("problem", {})
+        if stg.get("operator") == "stencil":
+            if pcfg.get("kind") != "brick3d":
+                raise ValueError("distributed stencil operator is 3D-only")
+            from maxwell_tpu.dist.stencil_dist import DistStencilPencil3D
+
+            dp = DistStencilPencil3D.build(
+                a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
+                c_len=pcfg.get("c", 1.0), nx=pcfg.get("nx", 8),
+                ny=pcfg.get("ny", 8), nz=pcfg.get("nz", 8),
+                D=D, dtype=dtype, block=block,
+            )
+        else:
+            dp = partition_problem(
+                problem, D, block=block, kernel=kernel, dtype=dtype
+            )
         mesh = make_mesh(D)
         res = lobpcg_dist(
             dp,
@@ -105,6 +122,7 @@ def main(argv=None):
             tol=tol,
             precond_alpha=scfg.get("precond_alpha"),
             precond_iters=scfg.get("precond_iters", 20),
+            checkpoint=args.checkpoint,
         )
     else:
         pcfg = cfg.get("problem", {})
@@ -198,6 +216,16 @@ def main(argv=None):
             ]
         except Exception:
             pass
+    if args.save_eigenvectors:
+        import numpy as np
+
+        np.savez(
+            args.save_eigenvectors,
+            eigenvalues=res.eigenvalues,
+            eigenvectors=res.eigenvectors,
+            residuals=res.residuals,
+        )
+        report["eigenvectors_file"] = args.save_eigenvectors
     print(json.dumps(report))
     return 0
 
