@@ -189,6 +189,7 @@ def main(argv=None):
                 tol=tol,
                 precond=pc,
                 checkpoint=args.checkpoint,
+                log_every=scfg.get("log_every", 0),
             )
         else:
             raise ValueError(f"unknown solver {kind!r}")

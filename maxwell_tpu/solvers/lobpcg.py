@@ -34,7 +34,22 @@ from maxwell_tpu.solvers.rr import svqb
 
 
 
-@partial(jax.jit, static_argnames=("maxiter", "nev"))
+def _emit_progress(it, res_max, theta0):
+    import json as _json
+
+    print(
+        _json.dumps(
+            {
+                "iter": int(it),
+                "max_rel_res": float(res_max),
+                "theta_min": float(theta0),
+            }
+        ),
+        flush=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("maxiter", "nev", "log_every"))
 def lobpcg_run(
     pencil: Pencil,
     X0: jax.Array,
@@ -44,6 +59,7 @@ def lobpcg_run(
     nev: int | None = None,
     Qlock: jax.Array | None = None,
     MQlock: jax.Array | None = None,
+    log_every: int = 0,
 ):
     """Jit-ed LOBPCG loop. X0: (n_padded, m), already projected off the
     nullspace (zero-padding invariant holds). Convergence is tested on the
@@ -147,6 +163,15 @@ def lobpcg_run(
 
         _, res_new = residuals(KX_new, MX_new, theta_new, X_new)
         hist = hist.at[it].set(jnp.max(res_new))
+        if log_every > 0:
+            # live JSON-line progress from inside the compiled loop
+            # (SURVEY.md §5.5); host callback fires every log_every iters
+            jax.lax.cond(
+                (it % log_every) == 0,
+                lambda args: jax.debug.callback(_emit_progress, *args),
+                lambda args: None,
+                (it, jnp.max(res_new[:nev]), theta_new[0]),
+            )
         return (
             it + 1,
             X_new,
@@ -178,6 +203,7 @@ def lobpcg(
     X0: jax.Array | None = None,
     checkpoint: str | None = None,
     deflate_Q: jax.Array | None = None,
+    log_every: int = 0,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
@@ -223,7 +249,7 @@ def lobpcg(
 
     theta, X, res, it, hist = lobpcg_run(
         pencil, X0, maxiter, tol, precond, nev=nev,
-        Qlock=Qlock, MQlock=MQlock,
+        Qlock=Qlock, MQlock=MQlock, log_every=log_every,
     )
 
     if checkpoint is not None:
