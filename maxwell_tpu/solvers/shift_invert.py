@@ -33,13 +33,37 @@ def _si_apply(pencil: Pencil, lu_dev: SparseLUDevice, x: jax.Array) -> jax.Array
     return pencil.project(z)
 
 
+def _shifted_mv(pencil, sigma, z):
+    Kz, Mz = pencil.KM_mm(z)
+    return Kz - sigma * Mz
+
+
+def _si_apply_iterative(
+    pencil, sigma, inner_tol, inner_iters, x: jax.Array
+) -> jax.Array:
+    """Matrix-free shift-invert apply: MINRES on the symmetric-indefinite
+    K - sigma*M (SURVEY.md §7.5 option (c)). Works with any pencil —
+    including the assembly-free stencil operators."""
+    from maxwell_tpu.solvers.minres import minres
+
+    t = pencil.M_mm(x)
+    A_mv = jax.tree_util.Partial(_shifted_mv, pencil, sigma)
+    z = minres(A_mv, t, tol=inner_tol, maxiter=inner_iters, dot=pencil.dot_vv)
+    return pencil.project(z)
+
+
 def build_shift_invert_op(pencil: Pencil, sigma: float, backend: str = "auto"):
     """Factor K - sigma*M on host; return a Partial device apply.
 
     backend: "ldlt" (native C++ LDL^T, maxwell_tpu/native), "splu" (scipy
-    SuperLU with partial pivoting), or "auto" (ldlt with splu fallback on a
-    zero pivot or missing toolchain).
+    SuperLU with partial pivoting), "iterative" (matrix-free MINRES inner
+    solve — no factorization, works with stencil pencils), or "auto" (ldlt
+    with splu fallback on a zero pivot or missing toolchain).
     """
+    if backend == "iterative":
+        return jax.tree_util.Partial(
+            _si_apply_iterative, pencil, sigma, 1e-11, 400
+        )
     K = pencil.K.to_csr()
     M = (
         pencil.M.to_csr()
