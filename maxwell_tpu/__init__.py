@@ -26,3 +26,4 @@ __version__ = "0.1.0"
 
 from maxwell_tpu.sparse.bsr import BSRMatrix  # noqa: F401
 from maxwell_tpu.solvers.results import EigenResult  # noqa: F401
+from maxwell_tpu.api import solve  # noqa: F401

@@ -46,3 +46,13 @@ def test_lanczos_eigenvectors_are_physical(setup):
     # gradient component: ||G^T M x|| should be ~0
     g = np.abs(cav.G.T @ (cav.M @ X)).max()
     assert g < 1e-6, f"gradient leakage {g}"
+
+
+def test_top_level_solve_api(setup):
+    """maxwell_tpu.solve(): one-call convenience path."""
+    import maxwell_tpu
+
+    cav, _, discrete = setup
+    res = maxwell_tpu.solve(cav, nev=4, tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, discrete[:4], rtol=1e-7)
