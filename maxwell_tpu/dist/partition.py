@@ -75,8 +75,9 @@ class DistPencil:
     kernel: str = "ref"
     mass_tol: float = 1e-12
     mass_iters: int = 300
-    proj_tol: float = 1e-12
-    proj_iters: int = 400
+    proj_tol: float = 1e-10
+    proj_iters: int = 150
+    halo_impl: str = "ppermute"  # or "rdma" (Pallas remote-DMA kernel)
 
     def tree_flatten(self):
         children = (
@@ -105,6 +106,7 @@ class DistPencil:
             self.mass_iters,
             self.proj_tol,
             self.proj_iters,
+            self.halo_impl,
         )
         return children, aux
 
@@ -127,7 +129,7 @@ class DistPencil:
             n_nodes=self.n_nodes, n=self.n, axis=self.axis,
             kernel=self.kernel, mass_tol=self.mass_tol,
             mass_iters=self.mass_iters, proj_tol=self.proj_tol,
-            proj_iters=self.proj_iters,
+            proj_iters=self.proj_iters, halo_impl=self.halo_impl,
         )
 
     # --- host-side driver support -----------------------------------------
@@ -210,17 +212,28 @@ class DistPencil:
         if Hb == 0:
             out = jnp.concatenate([Xl, zero], axis=0)
         elif self.H <= self.L:
-            # fast path: halos reach only the adjacent shard
-            right_perm = [(d, d + 1) for d in range(self.D - 1)]
-            left_perm = [(d + 1, d) for d in range(self.D - 1)]
-            # left halo = previous shard's LAST H block rows
-            left = jax.lax.ppermute(Xl[-Hb:], self.axis, right_perm)
-            # right halo = next shard's FIRST H block rows (fenced after the
-            # left permute — see _after)
-            right = jax.lax.ppermute(
-                _after(Xl[:Hb], left), self.axis, left_perm
-            )
-            out = jnp.concatenate([Xl, left, right, zero], axis=0)
+            if self.halo_impl == "rdma":
+                # explicit Pallas remote-DMA transport (SURVEY C8 #6);
+                # interpret-mode on the CPU-simulated mesh
+                from maxwell_tpu.kernels.halo_rdma import exchange_halos_rdma
+
+                left, right = exchange_halos_rdma(
+                    Xl, Hb, self.axis, self.D,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                out = jnp.concatenate([Xl, left, right, zero], axis=0)
+            else:
+                # fast path: halos reach only the adjacent shard
+                right_perm = [(d, d + 1) for d in range(self.D - 1)]
+                left_perm = [(d + 1, d) for d in range(self.D - 1)]
+                # left halo = previous shard's LAST H block rows
+                left = jax.lax.ppermute(Xl[-Hb:], self.axis, right_perm)
+                # right halo = next shard's FIRST H block rows (fenced after
+                # the left permute — see _after)
+                right = jax.lax.ppermute(
+                    _after(Xl[:Hb], left), self.axis, left_perm
+                )
+                out = jnp.concatenate([Xl, left, right, zero], axis=0)
         else:
             # deep-halo fallback (halo spans multiple shards, e.g. tiny
             # test problems): all_gather the vector and slice the window.
@@ -348,6 +361,7 @@ def partition_problem(
     dtype=jnp.float32,
     axis: str = "rows",
     reorder: bool = True,
+    halo_impl: str = "ppermute",
 ) -> DistPencil:
     """Host-side partitioner: problem (RectCavity2D / BrickCavity3D) -> row
     -sharded DistPencil with remapped local column indices.
@@ -487,6 +501,7 @@ def partition_problem(
         n=n,
         axis=axis,
         kernel=kernel,
+        halo_impl=halo_impl,
     )
     # host-side metadata (survives on this instance only, not through pytree
     # transforms — used by drivers to un-permute returned eigenvectors)

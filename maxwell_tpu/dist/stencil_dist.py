@@ -65,8 +65,8 @@ class DistStencilPencil3D:
     axis: str = "rows"
     mass_tol: float = 1e-12
     mass_iters: int = 300
-    proj_tol: float = 1e-12
-    proj_iters: int = 400
+    proj_tol: float = 1e-10
+    proj_iters: int = 150
 
     def tree_flatten(self):
         ch = (
