@@ -57,17 +57,21 @@ class StencilPencil2D:
     # optional per-cell materials (nx, ny)
     inv_mu: jax.Array | None = None
     eps: jax.Array | None = None
+    # exact tensor-product nodal solver (vacuum only)
+    fastproj: "object | None" = None
 
     def tree_flatten(self):
-        return (self.mask, self.proj, self.inv_mu, self.eps), (
+        return (self.mask, self.proj, self.inv_mu, self.eps, self.fastproj), (
             self.a, self.b, self.nx, self.ny, self.n, self.n_padded,
             self.mass_tol, self.mass_iters,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mask, proj, inv_mu, eps = children
-        return cls(mask, proj, *aux, inv_mu=inv_mu, eps=eps)
+        mask, proj, inv_mu, eps, fastproj = children
+        return cls(
+            mask, proj, *aux, inv_mu=inv_mu, eps=eps, fastproj=fastproj
+        )
 
     @property
     def dtype(self):
@@ -182,6 +186,13 @@ class StencilPencil2D:
         Xm = X * (self.mask if X.ndim == 1 else self.mask[:, None])
         if self.proj is None:
             return Xm
+        if self.fastproj is not None:
+            vec = Xm.ndim == 1
+            Xl = Xm[:, None] if vec else Xm
+            rhs = self.proj.gt_mm(self.M_mm(Xl))
+            q = self.fastproj.solve(rhs)
+            out = Xl - self.proj.g_mm(q) * self.mask[:, None]
+            return out[:, 0] if vec else out
         return self.proj.project(self.M_mm, Xm)
 
     # --- construction -----------------------------------------------------
@@ -246,6 +257,11 @@ class StencilPencil2D:
         G = G_full[:, node(ni.reshape(-1), nj.reshape(-1))[interior]]
         proj = GradientProjector.from_gradient(G.tocsr(), n_padded, dtype=dtype)
 
+        fastproj = None
+        if eps_r is None:
+            from maxwell_tpu.solvers.fast_poisson import FastPoisson2D
+
+            fastproj = FastPoisson2D.build(a, b, nx, ny, dtype=dtype)
         return StencilPencil2D(
             mask=jnp.asarray(mask),
             proj=proj,
@@ -254,4 +270,5 @@ class StencilPencil2D:
                 1.0 / np.asarray(mu_r), dtype=dtype
             ),
             eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
+            fastproj=fastproj,
         )

@@ -55,17 +55,26 @@ class StencilPencil3D:
     # k^2 eps_r E
     inv_mu: jax.Array | None = None
     eps: jax.Array | None = None
+    # exact tensor-product nodal solver (vacuum only) — replaces the
+    # projector's CG with six dense 1D transforms (solvers/fast_poisson.py)
+    fastproj: "object | None" = None
 
     def tree_flatten(self):
-        return (self.mask, self.Ke, self.Me, self.proj, self.inv_mu, self.eps), (
+        return (
+            self.mask, self.Ke, self.Me, self.proj, self.inv_mu, self.eps,
+            self.fastproj,
+        ), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mask, Ke, Me, proj, inv_mu, eps = children
-        return cls(mask, Ke, Me, proj, *aux, inv_mu=inv_mu, eps=eps)
+        mask, Ke, Me, proj, inv_mu, eps, fastproj = children
+        return cls(
+            mask, Ke, Me, proj, *aux, inv_mu=inv_mu, eps=eps,
+            fastproj=fastproj,
+        )
 
     @property
     def dtype(self):
@@ -197,6 +206,13 @@ class StencilPencil3D:
         Xm = X * (self.mask if X.ndim == 1 else self.mask[:, None])
         if self.proj is None:
             return Xm
+        if self.fastproj is not None:
+            vec = Xm.ndim == 1
+            Xl = Xm[:, None] if vec else Xm
+            rhs = self.proj.gt_mm(self.M_mm(Xl))
+            q = self.fastproj.solve(rhs)
+            out = Xl - self.proj.g_mm(q) * self.mask[:, None]
+            return out[:, 0] if vec else out
         return self.proj.project(self.M_mm, Xm)
 
     # --- construction -----------------------------------------------------
@@ -290,6 +306,11 @@ class StencilPencil3D:
         G = G_full[:, node(ni, nj, nk)[interior]]
         proj = GradientProjector.from_gradient(G.tocsr(), n_padded, dtype=dtype)
 
+        fastproj = None
+        if eps_r is None:
+            from maxwell_tpu.solvers.fast_poisson import FastPoisson3D
+
+            fastproj = FastPoisson3D.build(a, b, c, nx, ny, nz, dtype=dtype)
         return StencilPencil3D(
             mask=jnp.asarray(mask),
             Ke=jnp.asarray(Ke, dtype=dtype),
@@ -300,4 +321,5 @@ class StencilPencil3D:
                 1.0 / np.asarray(mu_r), dtype=dtype
             ),
             eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
+            fastproj=fastproj,
         )
