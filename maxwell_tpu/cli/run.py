@@ -4,7 +4,7 @@ Config schema (JSON):
 {
   "problem": {"kind": "rect2d"|"brick3d", "a":1, "b":1, ["c":1],
                "nx":16, "ny":16, ["nz":16]},
-  "solver":  {"kind": "lanczos"|"lobpcg"|"shift_invert"|"lobpcg_dist",
+  "solver":  {"kind": "lanczos"|"tr_lanczos"|"lobpcg"|"shift_invert"|"lobpcg_dist",
                "nev":5, "tol":1e-8, "maxiter":200, ...},
   "storage": {"block": 8, "dtype": "f32"|"f64", "kernel": "ref"|"pallas"},
   "dist":    {"n_shards": 8}            # lobpcg_dist only
@@ -155,6 +155,13 @@ def main(argv=None):
             from maxwell_tpu.solvers import lanczos
 
             res = lanczos(pencil, nev=nev, maxiter=maxiter, tol=tol)
+        elif kind == "tr_lanczos":
+            from maxwell_tpu.solvers.trlanczos import thick_restart_lanczos
+
+            res = thick_restart_lanczos(
+                pencil, nev=nev, ncv=scfg.get("ncv"),
+                max_restarts=scfg.get("max_restarts", 40), tol=tol,
+            )
         elif kind == "shift_invert" and stg.get("operator") == "stencil":
             raise ValueError(
                 "shift_invert needs assembled matrices (factorization); "
