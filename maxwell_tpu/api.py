@@ -30,6 +30,11 @@ def solve(
     analytic oracle when available), "lanczos", or "shift_invert" (needs
     sigma). distributed=True shards over all visible devices (or n_shards).
     """
+    if dtype == jnp.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     # auto preconditioner shift: the scale of the smallest wanted mode
     alpha = kwargs.pop("precond_alpha", None)
     if alpha is None:
