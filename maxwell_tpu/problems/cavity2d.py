@@ -52,6 +52,12 @@ class RectCavity2D:
     ny: int = 16
     eps_r: "np.ndarray | None" = None
     mu_r: "np.ndarray | None" = None
+    # "pec": tangential E = 0 (eliminate wall edges; TE modes
+    # pi^2(m^2/a^2+n^2/b^2), m,n>=0 not both 0).
+    # "pmc": natural/do-nothing BC (keep all edges; nonzero modes are the
+    # DIRICHLET Laplacian eigenvalues, m,n>=1; nullspace = grad H1, all
+    # nodes modulo constants).
+    bc: str = "pec"
 
     # filled by __post_init__
     n_edges: int = field(init=False)
@@ -108,14 +114,25 @@ class RectCavity2D:
             shape=(n_edges_full, n_edges_full),
         ).tocsr()
 
-        # --- PEC elimination ----------------------------------------------
-        xe_i, xe_j = np.meshgrid(np.arange(nx), np.arange(ny + 1), indexing="ij")
-        keep_xe = (xe_j.ravel() != 0) & (xe_j.ravel() != ny)
-        keep_xe_ids = (xe_j.ravel() * nx + xe_i.ravel())[keep_xe]
-        ye_i, ye_j = np.meshgrid(np.arange(nx + 1), np.arange(ny), indexing="ij")
-        keep_ye = (ye_i.ravel() != 0) & (ye_i.ravel() != nx)
-        keep_ye_ids = (n_xe + ye_j.ravel() * (nx + 1) + ye_i.ravel())[keep_ye]
-        keep = np.sort(np.concatenate([keep_xe_ids, keep_ye_ids]))
+        # --- boundary elimination (PEC) or none (PMC/natural) --------------
+        if self.bc == "pec":
+            xe_i, xe_j = np.meshgrid(
+                np.arange(nx), np.arange(ny + 1), indexing="ij"
+            )
+            keep_xe = (xe_j.ravel() != 0) & (xe_j.ravel() != ny)
+            keep_xe_ids = (xe_j.ravel() * nx + xe_i.ravel())[keep_xe]
+            ye_i, ye_j = np.meshgrid(
+                np.arange(nx + 1), np.arange(ny), indexing="ij"
+            )
+            keep_ye = (ye_i.ravel() != 0) & (ye_i.ravel() != nx)
+            keep_ye_ids = (n_xe + ye_j.ravel() * (nx + 1) + ye_i.ravel())[
+                keep_ye
+            ]
+            keep = np.sort(np.concatenate([keep_xe_ids, keep_ye_ids]))
+        elif self.bc == "pmc":
+            keep = np.arange(n_edges_full)
+        else:
+            raise ValueError(f"unknown bc {self.bc!r}")
 
         self.keep = keep
         self.n_edges = keep.size
@@ -160,16 +177,32 @@ class RectCavity2D:
         node_i, node_j = np.meshgrid(
             np.arange(nx + 1), np.arange(ny + 1), indexing="ij"
         )
-        interior = (
-            (node_i.ravel() > 0)
-            & (node_i.ravel() < nx)
-            & (node_j.ravel() > 0)
-            & (node_j.ravel() < ny)
-        )
+        if self.bc == "pec":
+            # gradients of hats vanishing on the wall: interior nodes only
+            interior = (
+                (node_i.ravel() > 0)
+                & (node_i.ravel() < nx)
+                & (node_j.ravel() > 0)
+                & (node_j.ravel() < ny)
+            )
+        else:
+            # natural BC: gradients of ALL hats, modulo the constant (ground
+            # node 0)
+            ids = node_id(node_i.ravel(), node_j.ravel())
+            interior = ids != 0
         interior_ids = node_id(node_i.ravel(), node_j.ravel())[interior]
         self.G = G_full[keep][:, interior_ids].tocsr()
 
     def analytic_eigenvalues(self, count: int) -> np.ndarray:
+        if self.bc == "pmc":
+            # natural BC => nonzero curl-curl modes = DIRICHLET Laplacian
+            # eigenvalues of the stream function: m, n >= 1
+            vals = [
+                (np.pi * m / self.a) ** 2 + (np.pi * n / self.b) ** 2
+                for m in range(1, 40)
+                for n in range(1, 40)
+            ]
+            return np.sort(np.asarray(vals))[:count]
         from maxwell_tpu.problems.analytic import te_eigenvalues_2d
 
         return te_eigenvalues_2d(self.a, self.b, count)

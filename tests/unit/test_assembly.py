@@ -80,3 +80,32 @@ def test_3d_eigenvalues_vs_analytic():
     exact = cav.analytic_eigenvalues(nev)  # 2*pi^2 triple-degenerate
     vals = dense_nonzero_eigs(cav, nev)
     assert np.allclose(vals, exact, rtol=5e-2)
+
+
+def test_pmc_boundary_conditions():
+    """Natural (PMC) walls: nullspace = all nodes mod constants; nonzero
+    modes = Dirichlet Laplacian eigenvalues (m, n >= 1)."""
+    import scipy.linalg
+
+    cav = RectCavity2D(nx=14, ny=12, a=1.0, b=0.8, bc="pmc")
+    vals = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    n_null = (vals < 1e-8).sum()
+    assert n_null == cav.G.shape[1] == (15 * 13 - 1)
+    nz = np.sort(vals[vals > 1e-8])[:4]
+    exact = cav.analytic_eigenvalues(4)
+    np.testing.assert_allclose(nz, exact, rtol=2e-2)
+    # K @ G == 0 still exact
+    assert abs(cav.K @ cav.G).max() < 1e-12
+
+
+def test_pmc_solver_end_to_end():
+    import maxwell_tpu
+
+    cav = RectCavity2D(nx=16, ny=14, a=1.0, b=0.8, bc="pmc")
+    res = maxwell_tpu.solve(cav, nev=3, tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(
+        res.eigenvalues, cav.analytic_eigenvalues(3), rtol=2e-2
+    )
