@@ -88,6 +88,9 @@ class BrickCavity3D:
     # k^2 eps_r E (uniform/None = vacuum cavity, analytic oracle valid)
     eps_r: "np.ndarray | None" = None
     mu_r: "np.ndarray | None" = None
+    # "pec" eliminates wall-tangential edges; "pmc" (natural BC) keeps all
+    # edges — by E<->H duality the nonzero spectrum equals the PEC box's
+    bc: str = "pec"
 
     n_edges: int = field(init=False)
     keep: np.ndarray = field(init=False)
@@ -186,7 +189,12 @@ class BrickCavity3D:
             & (zj.ravel() != 0)
             & (zj.ravel() != ny)
         ]
-        keep = np.sort(np.concatenate([keep_x, keep_y, keep_z]))
+        if self.bc == "pec":
+            keep = np.sort(np.concatenate([keep_x, keep_y, keep_z]))
+        elif self.bc == "pmc":
+            keep = np.arange(n_full)
+        else:
+            raise ValueError(f"unknown bc {self.bc!r}")
         self.keep = keep
         self.n_edges = keep.size
         self.K = K_full[np.ix_(keep, keep)].tocsr()
@@ -220,9 +228,13 @@ class BrickCavity3D:
             np.arange(nx + 1), np.arange(ny + 1), np.arange(nz + 1), indexing="ij"
         )
         ni, nj, nk = ni.ravel(), nj.ravel(), nk.ravel()
-        interior = (
-            (ni > 0) & (ni < nx) & (nj > 0) & (nj < ny) & (nk > 0) & (nk < nz)
-        )
+        if self.bc == "pec":
+            interior = (
+                (ni > 0) & (ni < nx) & (nj > 0) & (nj < ny)
+                & (nk > 0) & (nk < nz)
+            )
+        else:  # natural BC: all hats modulo the constant (ground node 0)
+            interior = node(ni, nj, nk) != 0
         self.G = G_full[keep][:, node(ni, nj, nk)[interior]].tocsr()
 
     def analytic_eigenvalues(self, count: int) -> np.ndarray:

@@ -109,3 +109,17 @@ def test_pmc_solver_end_to_end():
     np.testing.assert_allclose(
         res.eigenvalues, cav.analytic_eigenvalues(3), rtol=2e-2
     )
+
+
+def test_pmc_3d_duality():
+    """3D PMC box: by E<->H duality the nonzero spectrum equals the PEC
+    box's analytic modes (within O(h^2) on this coarse grid)."""
+    import scipy.linalg
+
+    cav = BrickCavity3D(nx=5, ny=5, nz=5, bc="pmc")
+    vals = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    assert (vals < 1e-8).sum() == cav.G.shape[1] == 6**3 - 1
+    nz = np.sort(vals[vals > 1e-8])[:4]
+    np.testing.assert_allclose(nz, cav.analytic_eigenvalues(4), rtol=4e-2)
