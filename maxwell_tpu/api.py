@@ -19,6 +19,7 @@ def solve(
     maxiter: int | None = None,
     dtype=jnp.float64,
     block: int = 8,
+    kernel: str = "ref",
     distributed: bool = False,
     n_shards: int | None = None,
     **kwargs,
@@ -28,7 +29,8 @@ def solve(
 
     solver: "lobpcg" (default; preconditioned, alpha auto-tuned from the
     analytic oracle when available), "lanczos", or "shift_invert" (needs
-    sigma). distributed=True shards over all visible devices (or n_shards).
+    sigma). kernel: "ref" (XLA einsum) or "pallas" (TPU kernels).
+    distributed=True shards over all visible devices (or n_shards).
     """
     if dtype == jnp.float64:
         import jax
@@ -52,7 +54,9 @@ def solve(
         if solver != "lobpcg":
             raise ValueError("distributed convenience path is LOBPCG-only")
         D = n_shards or len(jax.devices())
-        dp = partition_problem(problem, D, block=block, dtype=dtype)
+        dp = partition_problem(
+            problem, D, block=block, kernel=kernel, dtype=dtype
+        )
         mesh = make_mesh(D)
         return lobpcg_dist(
             dp, mesh, nev=nev, maxiter=maxiter or 200, tol=tol,
@@ -61,7 +65,9 @@ def solve(
 
     from maxwell_tpu.solvers.operator import Pencil
 
-    pencil = Pencil.from_problem(problem, block=block, dtype=dtype)
+    pencil = Pencil.from_problem(
+        problem, block=block, kernel=kernel, dtype=dtype
+    )
     if solver == "lobpcg":
         from maxwell_tpu.solvers import lobpcg
         from maxwell_tpu.solvers.precond import shifted_cg_preconditioner

@@ -33,6 +33,7 @@ def build_problem(cfg):
             b=cfg.get("b", 1.0),
             nx=cfg.get("nx", 16),
             ny=cfg.get("ny", 16),
+            bc=cfg.get("bc", "pec"),
         )
     if kind == "brick3d":
         from maxwell_tpu.problems import BrickCavity3D
@@ -44,6 +45,7 @@ def build_problem(cfg):
             nx=cfg.get("nx", 8),
             ny=cfg.get("ny", 8),
             nz=cfg.get("nz", 8),
+            bc=cfg.get("bc", "pec"),
         )
     raise ValueError(f"unknown problem kind {kind!r}")
 
@@ -81,8 +83,11 @@ def main(argv=None):
     block = stg.get("block", 8)
     kernel = stg.get("kernel", "ref")
 
+    use_stencil = stg.get("operator") == "stencil"
     t0 = time.perf_counter()
-    problem = build_problem(cfg.get("problem", {}))
+    # the assembly-free (stencil) path must not pay host CSR assembly —
+    # build the assembled problem lazily only where matrices are consumed
+    problem = None if use_stencil else build_problem(cfg.get("problem", {}))
     t_setup = time.perf_counter() - t0
 
     kind = scfg.get("kind", "lobpcg")
@@ -205,6 +210,10 @@ def main(argv=None):
     for h in res.history:
         print(json.dumps(h))
 
+    if use_stencil:
+        n_report = getattr(pencil if kind != "lobpcg_dist" else dp, "n")
+    else:
+        n_report = problem.n_edges
     report = {
         "eigenvalues": [float(v) for v in res.eigenvalues],
         "residuals": [float(r) for r in res.residuals],
@@ -212,11 +221,27 @@ def main(argv=None):
         "converged": res.converged,
         "t_setup_s": t_setup,
         "t_solve_s": t_solve,
-        "n": problem.n_edges,
+        "n": int(n_report),
     }
-    if kind != "shift_invert":  # analytic oracle lists the SMALLEST modes
+    if kind != "shift_invert" and cfg.get("problem", {}).get("bc", "pec") == "pec":
+        # analytic oracle lists the SMALLEST PEC modes
         try:
-            exact = problem.analytic_eigenvalues(nev)
+            pcfg = cfg.get("problem", {})
+            if pcfg.get("kind", "rect2d") == "rect2d":
+                from maxwell_tpu.problems.analytic import te_eigenvalues_2d
+
+                exact = te_eigenvalues_2d(
+                    pcfg.get("a", 1.0), pcfg.get("b", 1.0), nev
+                )
+            else:
+                from maxwell_tpu.problems.analytic import (
+                    cavity_eigenvalues_3d,
+                )
+
+                exact = cavity_eigenvalues_3d(
+                    pcfg.get("a", 1.0), pcfg.get("b", 1.0),
+                    pcfg.get("c", 1.0), nev,
+                )
             report["analytic"] = [float(v) for v in exact]
             report["analytic_rel_err"] = [
                 float(abs(v - e) / e)

@@ -304,6 +304,9 @@ class DistStencilPencil3D:
     ) -> "DistStencilPencil3D":
         from maxwell_tpu.problems.cavity3d import hex_element_matrices
 
+        from maxwell_tpu.sparse.bsr import ensure_x64_for
+
+        ensure_x64_for(dtype)
         if nx % D != 0:
             raise ValueError("nx must be divisible by the shard count")
         cells = nx // D

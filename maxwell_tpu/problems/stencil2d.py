@@ -201,6 +201,9 @@ class StencilPencil2D:
         a=1.0, b=1.0, nx=16, ny=16, dtype=jnp.float32, block: int = 8,
         eps_r=None, mu_r=None,
     ) -> "StencilPencil2D":
+        from maxwell_tpu.sparse.bsr import ensure_x64_for
+
+        ensure_x64_for(dtype)
         n_xe = nx * (ny + 1)
         n_ye = (nx + 1) * ny
         n = n_xe + n_ye

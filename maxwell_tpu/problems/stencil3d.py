@@ -226,6 +226,9 @@ class StencilPencil3D:
 
         from maxwell_tpu.problems.cavity3d import hex_element_matrices
 
+        from maxwell_tpu.sparse.bsr import ensure_x64_for
+
+        ensure_x64_for(dtype)
         hx, hy, hz = a / nx, b / ny, c / nz
         Ke, Me = hex_element_matrices(hx, hy, hz)
 

@@ -155,15 +155,25 @@ def ritz_extract(
     else:
         raise ValueError(mode)
     if len(order) < nev:
-        # not enough converged pairs: fall back to best unconverged ones so
-        # the caller still gets nev values (flagged via residuals/converged)
-        rest = np.setdiff1d(
-            np.argsort(theta if mode == "direct" else -np.abs(theta)), order
-        )[: nev - len(order)]
-        order = np.concatenate([order, rest])
+        # not enough CONVERGED pairs: fall back to the best unconverged
+        # candidates (flagged via residuals/converged) — but keep the
+        # nullspace/junk filter and the mode's ranking, and re-sort the
+        # final set ascending like the converged path does.
+        pool = np.where(
+            (theta > 1e-10 * theta_max)
+            if mode == "direct"
+            else (np.abs(theta) > 1e-12 * theta_max)
+        )[0]
+        ranked = pool[
+            np.argsort(theta[pool] if mode == "direct" else -np.abs(theta[pool]))
+        ]
+        rest = ranked[~np.isin(ranked, order)][: nev - len(order)]
+        order = np.concatenate([order, rest]).astype(int)
         lams = (
             theta[order] if mode == "direct" else sigma + 1.0 / theta[order]
         )
+        asc = np.argsort(lams)
+        order, lams = order[asc], lams[asc]
     return lams, Y[:, order], keff
 
 

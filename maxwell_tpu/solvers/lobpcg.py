@@ -162,7 +162,10 @@ def lobpcg_run(
         MP_new = MS @ Cp
 
         _, res_new = residuals(KX_new, MX_new, theta_new, X_new)
-        hist = hist.at[it].set(jnp.max(res_new))
+        # history tracks the CONVERGENCE-RELEVANT residual (first nev
+        # columns) — guard vectors would otherwise dominate the max and
+        # contradict the converged report
+        hist = hist.at[it].set(jnp.max(res_new[:nev]))
         if log_every > 0:
             # live JSON-line progress from inside the compiled loop
             # (SURVEY.md §5.5); host callback fires every log_every iters

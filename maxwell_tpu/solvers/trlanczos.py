@@ -30,14 +30,15 @@ from maxwell_tpu.solvers.lanczos import _direct_apply, _project_apply
 from maxwell_tpu.solvers.results import EigenResult
 
 
-@functools.partial(jax.jit, static_argnames=("j",))
-def _expand_step(apply_op, pencil, V, MV, j: int, post=None):
-    """One Krylov expansion step from basis column j-1.
+@jax.jit
+def _expand_step(apply_op, pencil, V, MV, j, post=None):
+    """One Krylov expansion step from basis column j-1 (j TRACED — one
+    compile regardless of basis position; review finding round 1).
 
-    Returns (V, MV updated with column j, h (j,) projection coeffs, beta).
+    Returns (V, MV updated with column j, h projection coeffs, beta).
     V/MV: (ncv+1, n) row-major basis buffers (rows >= j are zero).
     """
-    w = apply_op(V[j - 1])
+    w = apply_op(jax.lax.dynamic_index_in_dim(V, j - 1, keepdims=False))
     # projection coefficients BEFORE orthogonalization: h = (MV)^T w
     h = pencil.reduce_rows(MV @ pencil.weigh(w))  # (ncv+1,), rows>=j zero
 
@@ -54,8 +55,8 @@ def _expand_step(apply_op, pencil, V, MV, j: int, post=None):
     Mw = pencil.M_mm(w)
     beta = jnp.sqrt(jnp.maximum(pencil.dot_vv(w, Mw), 0.0))
     safe = jnp.where(beta > 0, beta, 1.0)
-    V = V.at[j].set(w / safe)
-    MV = MV.at[j].set(Mw / safe)
+    V = jax.lax.dynamic_update_index_in_dim(V, w / safe, j, 0)
+    MV = jax.lax.dynamic_update_index_in_dim(MV, Mw / safe, j, 0)
     return V, MV, h, beta
 
 
@@ -128,7 +129,14 @@ def thick_restart_lanczos(
         resid_est = np.abs(beta_last * S[ncv - 1, :])
         scale = np.maximum(np.abs(w_), 1e-30)
         conv_mask = resid_est <= tol * scale
-        if conv_mask[:nev].all():
+        if mode == "direct":
+            # never declare convergence on nullspace junk that slipped into
+            # the first nev slots (review finding round 1)
+            theta_max2 = max(np.abs(w_).max(), 1.0)
+            n_good = int((w_ > 1e-8 * theta_max2).sum())
+            if n_good >= nev and conv_mask[:nev].all():
+                converged = True
+        elif conv_mask[:nev].all():
             converged = True
         theta = w_[:nev]
 
