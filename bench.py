@@ -154,6 +154,19 @@ def main():
     except Exception as e:  # pragma: no cover
         details["lobpcg_error"] = repr(e)
 
+    # ---- 3b. time-to-1e-8 residual (THE BASELINE metric) in f64 ----------
+    try:
+        t0 = time.perf_counter()
+        pencil64 = Pencil.from_problem(cav2, block=8, dtype=jnp.float64)
+        pc64 = shifted_cg_preconditioner(pencil64, alpha=15.0, iters=16)
+        res64 = lobpcg(pencil64, nev=5, maxiter=100, tol=1e-8, precond=pc64)
+        details["time_to_1e8_s"] = time.perf_counter() - t0
+        details["time_to_1e8_converged"] = bool(res64.converged)
+        details["time_to_1e8_iters"] = res64.iterations
+    except Exception as e:  # pragma: no cover - f64 may be unsupported on
+        # some TPU generations; the f32 solve above still reports
+        details["time_to_1e8_error"] = repr(e)
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 

@@ -22,11 +22,15 @@ _lib = None
 
 
 def _build() -> None:
+    # build to a temp name + atomic rename so concurrent importers never
+    # load a half-written .so
+    tmp = _LIB + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _LIB, _SRC,
+        "-o", tmp, _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB)
 
 
 def _load():
