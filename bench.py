@@ -72,18 +72,31 @@ def main():
 
     grid = 24 if platform != "cpu" else 12
     cav = PermutedProblem(BrickCavity3D(nx=grid, ny=grid, nz=grid))
+    # two layouts: b=8 (lane-aligned, what the Pallas kernels want) and
+    # b=4/tight slots (min storage — best for the memory-bound einsum path;
+    # block-size study in round-1 log: 2.7x less padding, ~4x faster on CPU)
     A = BSRMatrix.from_csr(cav.K, block=8, dtype=jnp.float32)
+    A4 = BSRMatrix.from_csr(
+        cav.K, block=4, align_slots=4, dtype=jnp.float32
+    )
     details["n"] = A.n
     details["nnz_csr"] = int(cav.K.nnz)
-    details["nnz_dense_blocks"] = int(A.nnz_dense)
+    details["nnz_dense_blocks_b8"] = int(A.nnz_dense)
+    details["nnz_dense_blocks_b4"] = int(A4.nnz_dense)
 
     m = 8
     key = jax.random.PRNGKey(0)
     X = jax.random.normal(key, (A.n_padded, m), jnp.float32)
+    X4 = X[: A4.n_padded]
 
     ref_mm = jax.jit(bsr_matmat_ref)
     ref_mm(A, X).block_until_ready()
-    t_ref = _timeit(lambda: ref_mm(A, X).block_until_ready())
+    t_ref8 = _timeit(lambda: ref_mm(A, X).block_until_ready())
+    ref_mm(A4, X4).block_until_ready()
+    t_ref4 = _timeit(lambda: ref_mm(A4, X4).block_until_ready())
+    details["spmm_time_ref_b8_s"] = t_ref8
+    details["spmm_time_ref_b4_s"] = t_ref4
+    t_ref = min(t_ref8, t_ref4)
 
     t_pal = None
     if platform != "cpu":
