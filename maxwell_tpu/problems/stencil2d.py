@@ -199,7 +199,7 @@ class StencilPencil2D:
     @staticmethod
     def build(
         a=1.0, b=1.0, nx=16, ny=16, dtype=jnp.float32, block: int = 8,
-        eps_r=None, mu_r=None,
+        eps_r=None, mu_r=None, bc: str = "pec",
     ) -> "StencilPencil2D":
         from maxwell_tpu.sparse.bsr import ensure_x64_for
 
@@ -211,10 +211,14 @@ class StencilPencil2D:
 
         mask = np.zeros(n_padded, dtype=np.dtype(dtype))
         xi, xj = np.meshgrid(np.arange(nx), np.arange(ny + 1), indexing="ij")
-        keep_x = (xj != 0) & (xj != ny)
+        keep_x = (
+            (xj != 0) & (xj != ny) if bc == "pec" else np.ones_like(xj, bool)
+        )
         mask[: n_xe] = keep_x.reshape(-1).astype(mask.dtype)
         yi, yj = np.meshgrid(np.arange(nx + 1), np.arange(ny), indexing="ij")
-        keep_y = (yi != 0) & (yi != nx)
+        keep_y = (
+            (yi != 0) & (yi != nx) if bc == "pec" else np.ones_like(yi, bool)
+        )
         mask[n_xe:n] = keep_y.reshape(-1).astype(mask.dtype)
 
         # discrete gradient over interior nodes, full-edge row space
@@ -246,12 +250,15 @@ class StencilPencil2D:
             shape=(n, (nx + 1) * (ny + 1)),
         ).tocsr()
         ni, nj = np.meshgrid(np.arange(nx + 1), np.arange(ny + 1), indexing="ij")
-        interior = (
-            (ni.reshape(-1) > 0)
-            & (ni.reshape(-1) < nx)
-            & (nj.reshape(-1) > 0)
-            & (nj.reshape(-1) < ny)
-        )
+        if bc == "pec":
+            interior = (
+                (ni.reshape(-1) > 0)
+                & (ni.reshape(-1) < nx)
+                & (nj.reshape(-1) > 0)
+                & (nj.reshape(-1) < ny)
+            )
+        else:  # natural BC: all hats modulo the constant (ground node 0)
+            interior = node(ni.reshape(-1), nj.reshape(-1)) != 0
         # zero out masked edge rows so G maps into the masked subspace
         keep_rows = np.concatenate(
             [keep_x.reshape(-1), keep_y.reshape(-1)]
@@ -261,7 +268,8 @@ class StencilPencil2D:
         proj = GradientProjector.from_gradient(G.tocsr(), n_padded, dtype=dtype)
 
         fastproj = None
-        if eps_r is None:
+        if eps_r is None and bc == "pec":
+            # the tensor-product fast solve assumes Dirichlet interior nodes
             from maxwell_tpu.solvers.fast_poisson import FastPoisson2D
 
             fastproj = FastPoisson2D.build(a, b, nx, ny, dtype=dtype)

@@ -220,7 +220,7 @@ class StencilPencil3D:
     def build(
         a=1.0, b=1.0, c=1.0, nx=8, ny=8, nz=8,
         dtype=jnp.float32, block: int = 8,
-        eps_r=None, mu_r=None,
+        eps_r=None, mu_r=None, bc: str = "pec",
     ) -> "StencilPencil3D":
         import scipy.sparse as sp
 
@@ -244,19 +244,25 @@ class StencilPencil3D:
             np.arange(nx), np.arange(ny + 1), np.arange(nz + 1), indexing="ij"
         )
         mask[:sx] = (
-            (xj != 0) & (xj != ny) & (xk != 0) & (xk != nz)
+            ((xj != 0) & (xj != ny) & (xk != 0) & (xk != nz))
+            if bc == "pec"
+            else np.ones_like(xj, bool)
         ).reshape(-1)
         yi, yj, yk = np.meshgrid(
             np.arange(nx + 1), np.arange(ny), np.arange(nz + 1), indexing="ij"
         )
         mask[sx : sx + sy] = (
-            (yi != 0) & (yi != nx) & (yk != 0) & (yk != nz)
+            ((yi != 0) & (yi != nx) & (yk != 0) & (yk != nz))
+            if bc == "pec"
+            else np.ones_like(yi, bool)
         ).reshape(-1)
         zi, zj, zk = np.meshgrid(
             np.arange(nx + 1), np.arange(ny + 1), np.arange(nz), indexing="ij"
         )
         mask[sx + sy : n] = (
-            (zi != 0) & (zi != nx) & (zj != 0) & (zj != ny)
+            ((zi != 0) & (zi != nx) & (zj != 0) & (zj != ny))
+            if bc == "pec"
+            else np.ones_like(zi, bool)
         ).reshape(-1)
 
         # discrete gradient (interior nodes), stencil layout, masked rows
@@ -310,7 +316,8 @@ class StencilPencil3D:
         proj = GradientProjector.from_gradient(G.tocsr(), n_padded, dtype=dtype)
 
         fastproj = None
-        if eps_r is None:
+        if eps_r is None and bc == "pec":
+            # the tensor-product fast solve assumes Dirichlet interior nodes
             from maxwell_tpu.solvers.fast_poisson import FastPoisson3D
 
             fastproj = FastPoisson3D.build(a, b, c, nx, ny, nz, dtype=dtype)

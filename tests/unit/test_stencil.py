@@ -244,3 +244,19 @@ def test_stencil2d_materials_match_assembled():
         np.asarray(stp.M_mm(jnp.asarray(Xf)))[idx], cav.M @ Xk,
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_stencil_pmc_matches_assembled_spectrum():
+    """PMC stencil pencil reproduces the assembled PMC spectrum exactly."""
+    cav = RectCavity2D(nx=12, ny=10, a=1.0, b=0.8, bc="pmc")
+    stp = StencilPencil2D.build(
+        nx=12, ny=10, a=1.0, b=0.8, dtype=jnp.float64, bc="pmc"
+    )
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:3]
+    pc = shifted_cg_preconditioner(stp, alpha=float(discrete[0]), iters=20)
+    res = lobpcg(stp, nev=3, maxiter=150, tol=1e-9, precond=pc)
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
