@@ -51,6 +51,9 @@ class DistStencilPencil3D:
     gweight: jax.Array  # (D*n_loc_pad,) +-1/h gradient weights (0 on pad)
     node_mask: jax.Array  # (D*nn_loc,) interior-node mask
     node_w: jax.Array  # (D*nn_loc,) node ownership weight
+    # optional per-cell materials, slab-stacked: (D*cells, ny, nz)
+    inv_mu: jax.Array | None
+    eps: jax.Array | None
     ax: float
     by: float
     cz: float
@@ -71,7 +74,7 @@ class DistStencilPencil3D:
     def tree_flatten(self):
         ch = (
             self.mask, self.w_dot, self.Ke, self.Me, self.head, self.tail,
-            self.gweight, self.node_mask, self.node_w,
+            self.gweight, self.node_mask, self.node_w, self.inv_mu, self.eps,
         )
         aux = (
             self.ax, self.by, self.cz, self.nx, self.ny, self.nz,
@@ -92,6 +95,8 @@ class DistStencilPencil3D:
         return DistStencilPencil3D(
             mask=row, w_dot=row, Ke=rep, Me=rep, head=row, tail=row,
             gweight=row, node_mask=row, node_w=row,
+            inv_mu=None if self.inv_mu is None else row,
+            eps=None if self.eps is None else row,
             ax=self.ax, by=self.by, cz=self.cz, nx=self.nx, ny=self.ny,
             nz=self.nz, cells=self.cells, D=self.D, n_loc=self.n_loc,
             n_loc_pad=self.n_loc_pad, nn_loc=self.nn_loc, axis=self.axis,
@@ -177,13 +182,16 @@ class DistStencilPencil3D:
         return A.at[0].add(from_left).at[-1].add(from_right), from_right
 
     # --- element apply -----------------------------------------------------
-    def _element_apply_multi(self, E, X):
+    def _element_apply_multi(self, E, X, scales=None):
         """Stacked element apply ((12k, 12) E -> k outputs) with ONE panel
-        gather and one interface exchange round per output field."""
+        gather and one interface exchange round per output field. scales:
+        per-output per-cell (cells, ny, nz) material coefficients."""
         Xl = X * self.mask[:, None]
         m = Xl.shape[1]
         c, ny, nz = self.cells, self.ny, self.nz
         k = E.shape[0] // 12
+        if scales is None:
+            scales = (None,) * k
         Ex, Ey, Ez = self._to_grids(Xl)
 
         panels = [
@@ -201,6 +209,8 @@ class DistStencilPencil3D:
         dep = None
         for j in range(k):
             Yj = Y[12 * j : 12 * (j + 1)]
+            if scales[j] is not None:
+                Yj = Yj * scales[j][None, :, :, :, None]
             Yx = jnp.zeros_like(Ex)
             Yy = jnp.zeros_like(Ey)
             Yz = jnp.zeros_like(Ez)
@@ -224,25 +234,32 @@ class DistStencilPencil3D:
             outs.append(self._from_grids(Yx, Yy, Yz, m) * self.mask[:, None])
         return jnp.stack(outs)
 
-    def _element_apply(self, E, X):
+    def _element_apply(self, E, X, scale=None):
         vec = X.ndim == 1
         Xl = X[:, None] if vec else X
-        out = self._element_apply_multi(E, Xl)[0]
+        out = self._element_apply_multi(E, Xl, scales=(scale,))[0]
         return out[:, 0] if vec else out
 
-    def _element_apply2(self, E2, X):
-        return self._element_apply_multi(E2, X)
+    def _cell_grid(self, arr):
+        if arr is None:
+            return None
+        return arr.reshape(self.cells, self.ny, self.nz)
 
     def K_mm(self, X):
-        return self._element_apply(self.Ke, X)
+        return self._element_apply(
+            self.Ke, X, scale=self._cell_grid(self.inv_mu)
+        )
 
     def M_mm(self, X):
-        return self._element_apply(self.Me, X)
+        return self._element_apply(self.Me, X, scale=self._cell_grid(self.eps))
 
     def KM_mm(self, X):
         # fused: one panel gather + one (24x12) contraction for K and M
         E2 = jnp.concatenate([self.Ke, self.Me], axis=0)
-        Y2 = self._element_apply2(E2, X)
+        Y2 = self._element_apply_multi(
+            E2, X,
+            scales=(self._cell_grid(self.inv_mu), self._cell_grid(self.eps)),
+        )
         return Y2[0], Y2[1]
 
     def Minv_mm(self, X):
@@ -301,6 +318,7 @@ class DistStencilPencil3D:
     def build(
         a=1.0, b=1.0, c_len=1.0, nx=8, ny=8, nz=8, D=8,
         dtype=jnp.float32, block: int = 8, axis: str = "rows",
+        eps_r=None, mu_r=None,
     ) -> "DistStencilPencil3D":
         from maxwell_tpu.problems.cavity3d import hex_element_matrices
 
@@ -405,6 +423,22 @@ class DistStencilPencil3D:
             node_mask[d, ids] = interior
             node_w[d, ids] = interior & (ni != cells).reshape(-1)
 
+        # per-cell materials: cells are disjoint across slabs — plain
+        # (D*cells, ny, nz) stacking IS the shard layout
+        inv_mu = (
+            None
+            if mu_r is None
+            else jnp.asarray(1.0 / np.asarray(mu_r), dtype=dtype).reshape(
+                D * cells, ny, nz
+            )
+        )
+        eps = (
+            None
+            if eps_r is None
+            else jnp.asarray(np.asarray(eps_r), dtype=dtype).reshape(
+                D * cells, ny, nz
+            )
+        )
         return DistStencilPencil3D(
             mask=jnp.asarray(mask.reshape(-1)),
             w_dot=jnp.asarray(w_dot.reshape(-1)),
@@ -415,6 +449,8 @@ class DistStencilPencil3D:
             gweight=jnp.asarray(gweight.reshape(-1)),
             node_mask=jnp.asarray(node_mask.reshape(-1)),
             node_w=jnp.asarray(node_w.reshape(-1)),
+            inv_mu=inv_mu,
+            eps=eps,
             ax=a, by=b, cz=c_len, nx=nx, ny=ny, nz=nz,
             cells=cells, D=D, n_loc=n_loc, n_loc_pad=n_loc_pad,
             nn_loc=nn_loc, axis=axis,

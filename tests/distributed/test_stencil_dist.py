@@ -83,3 +83,32 @@ def test_dist_stencil_lobpcg(pair):
     )
     assert res.converged, f"residuals {res.residuals}"
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
+
+
+def test_dist_stencil_materials_parity(pair):
+    """Per-cell materials in the slab-sharded pencil == single-device."""
+    rng = np.random.default_rng(5)
+    eps_r = 1.0 + rng.random((NX, NY, NZ))
+    mu_r = 1.0 + rng.random((NX, NY, NZ))
+    sp_dist = DistStencilPencil3D.build(
+        a=1.0, b=1.1, c_len=0.9, nx=NX, ny=NY, nz=NZ, D=D,
+        dtype=jnp.float64, eps_r=eps_r, mu_r=mu_r,
+    )
+    sp_single = StencilPencil3D.build(
+        a=1.0, b=1.1, c=0.9, nx=NX, ny=NY, nz=NZ, dtype=jnp.float64,
+        eps_r=eps_r, mu_r=mu_r,
+    )
+    mesh = make_mesh(D)
+    Xg = rng.standard_normal((sp_dist.n_full, 2))
+    Xs = jnp.asarray(sp_dist.scatter_vector(Xg))
+    for which in ("K", "M"):
+        Yd = sp_dist.gather_vector(
+            np.asarray(_apply_dist(sp_dist, mesh, Xs, which))
+        )
+        Xf = jnp.asarray(
+            np.pad(Xg, ((0, sp_single.n_padded - sp_single.n), (0, 0)))
+        )
+        Ys = np.asarray(
+            sp_single.K_mm(Xf) if which == "K" else sp_single.M_mm(Xf)
+        )[: sp_single.n]
+        np.testing.assert_allclose(Yd, Ys, rtol=1e-12, atol=1e-12)
