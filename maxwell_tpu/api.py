@@ -18,7 +18,7 @@ def solve(
     sigma: float | None = None,
     maxiter: int | None = None,
     dtype=jnp.float64,
-    block: int = 8,
+    block: int | None = None,
     kernel: str = "ref",
     distributed: bool = False,
     n_shards: int | None = None,

@@ -80,7 +80,7 @@ def main(argv=None):
     dtype = {"f32": jnp.float32, "f64": jnp.float64}[stg.get("dtype", "f64")]
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
-    block = stg.get("block", 8)
+    block = stg.get("block")  # None -> per-kernel auto layout
     kernel = stg.get("kernel", "ref")
 
     use_stencil = stg.get("operator") == "stencil"
@@ -111,7 +111,7 @@ def main(argv=None):
                 a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
                 c_len=pcfg.get("c", 1.0), nx=pcfg.get("nx", 8),
                 ny=pcfg.get("ny", 8), nz=pcfg.get("nz", 8),
-                D=D, dtype=dtype, block=block,
+                D=D, dtype=dtype, block=block or 8,
             )
         else:
             dp = partition_problem(
@@ -132,14 +132,16 @@ def main(argv=None):
     else:
         pcfg = cfg.get("problem", {})
         if stg.get("operator") == "stencil":
-            # assembly-free matrix-free operator (tensor grids only)
+            # assembly-free matrix-free operator (tensor grids only);
+            # block only sets padding granularity here
             if pcfg.get("kind", "rect2d") == "rect2d":
                 from maxwell_tpu.problems.stencil2d import StencilPencil2D
 
                 pencil = StencilPencil2D.build(
                     a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
                     nx=pcfg.get("nx", 16), ny=pcfg.get("ny", 16),
-                    dtype=dtype, block=block,
+                    dtype=dtype, block=block or 8,
+                    bc=pcfg.get("bc", "pec"),
                 )
             else:
                 from maxwell_tpu.problems.stencil3d import StencilPencil3D
@@ -148,7 +150,8 @@ def main(argv=None):
                     a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
                     c=pcfg.get("c", 1.0), nx=pcfg.get("nx", 8),
                     ny=pcfg.get("ny", 8), nz=pcfg.get("nz", 8),
-                    dtype=dtype, block=block,
+                    dtype=dtype, block=block or 8,
+                    bc=pcfg.get("bc", "pec"),
                 )
         else:
             from maxwell_tpu.solvers.operator import Pencil

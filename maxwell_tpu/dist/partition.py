@@ -356,7 +356,7 @@ class DistPencil:
 def partition_problem(
     problem,
     n_shards: int,
-    block: int = 8,
+    block: int | None = None,
     kernel: str = "ref",
     dtype=jnp.float32,
     axis: str = "rows",
@@ -370,6 +370,8 @@ def partition_problem(
     permutation is stored on the returned pencil as `.perm` (host-side
     attribute, not part of the pytree) for eigenvector un-permutation.
     """
+    if block is None:
+        block = 8 if kernel == "pallas" else 4  # layout study, round-1 log
     perm = None
     if reorder:
         from maxwell_tpu.sparse.reorder import PermutedProblem
