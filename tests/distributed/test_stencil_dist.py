@@ -112,3 +112,24 @@ def test_dist_stencil_materials_parity(pair):
             sp_single.K_mm(Xf) if which == "K" else sp_single.M_mm(Xf)
         )[: sp_single.n]
         np.testing.assert_allclose(Yd, Ys, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_lanczos_on_stencil(mesh_only=None):
+    """Distributed Lanczos driver runs on the slab-sharded stencil pencil.
+    (Plain Lanczos needs a near-complete Krylov space for the smallest
+    modes, so this uses a tiny grid.)"""
+    from maxwell_tpu.solvers.dist_solve import lanczos_dist
+
+    nx, ny, nz = 8, 3, 3
+    sp_small = DistStencilPencil3D.build(
+        nx=nx, ny=ny, nz=nz, D=D, dtype=jnp.float64
+    )
+    mesh = make_mesh(D)
+    cav = BrickCavity3D(nx=nx, ny=ny, nz=nz)
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:3]
+    res = lanczos_dist(sp_small, mesh, nev=3, maxiter=330, tol=1e-8)
+    assert res.converged, f"residuals {res.residuals}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-8)
