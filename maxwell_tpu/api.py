@@ -10,6 +10,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+from maxwell_tpu.utils.precision import fp32_true
+
+@fp32_true
 def solve(
     problem,
     nev: int = 5,

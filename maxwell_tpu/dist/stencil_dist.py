@@ -203,7 +203,10 @@ class DistStencilPencil3D:
             Ez[0:c, 1 : ny + 1, :], Ez[1 : c + 1, 1 : ny + 1, :],
         ]
         G = jnp.stack(panels)
-        Y = jnp.einsum("ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype)
+        Y = jnp.einsum(
+            "ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
         outs = []
         dep = None

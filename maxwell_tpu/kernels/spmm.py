@@ -51,6 +51,7 @@ def _spmm_kernel(cols_ref, blocks_ref, x_ref, o_ref, *, R, S, b, m):
             blocks_ref[:, s],
             xg,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     o_ref[:] = acc.reshape(R * b, m).astype(o_ref.dtype)
 
@@ -123,6 +124,7 @@ def _spmm_windowed_kernel(
             blocks_ref[:, s],
             xg,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     o_ref[:] = acc.reshape(R * b, m).astype(o_ref.dtype)
 

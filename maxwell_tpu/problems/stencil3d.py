@@ -152,7 +152,8 @@ class StencilPencil3D:
         ]
         G = jnp.stack(panels)  # (12, nx, ny, nz, m)
         Y = jnp.einsum(
-            "ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype
+            "ab,bxyzm->axyzm", E, G, preferred_element_type=G.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         outs = []

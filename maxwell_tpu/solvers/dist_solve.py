@@ -28,6 +28,8 @@ from maxwell_tpu.solvers.precond import _precond_apply
 from maxwell_tpu.solvers.results import EigenResult
 
 
+from maxwell_tpu.utils.precision import fp32_true
+
 def _run_local(pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters):
     """Body executed per shard: project the start block, build the local
     preconditioner, run the shared LOBPCG loop."""
@@ -40,6 +42,7 @@ def _run_local(pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters):
     return lobpcg_run(pencil, X0, maxiter, tol, precond, nev=nev)
 
 
+@fp32_true
 def lobpcg_dist(
     dpencil: DistPencil,
     mesh,
@@ -117,6 +120,7 @@ def lobpcg_dist(
     )
 
 
+@fp32_true
 def lanczos_dist(
     dpencil: DistPencil,
     mesh,

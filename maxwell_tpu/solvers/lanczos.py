@@ -29,6 +29,8 @@ from maxwell_tpu.solvers.operator import Pencil
 from maxwell_tpu.solvers.results import EigenResult
 
 
+from maxwell_tpu.utils.precision import fp32_true
+
 def _direct_apply(pencil: Pencil, x: jax.Array) -> jax.Array:
     """Operator for the direct generalized mode: P M^-1 K x."""
     return pencil.project(pencil.Minv_mm(pencil.K_mm(x)))
@@ -177,6 +179,7 @@ def ritz_extract(
     return lams, Y[:, order], keff
 
 
+@fp32_true
 def lanczos(
     pencil: Pencil,
     nev: int = 5,

@@ -34,6 +34,8 @@ from maxwell_tpu.solvers.rr import svqb
 
 
 
+from maxwell_tpu.utils.precision import fp32_true
+
 def _emit_progress(it, res_max, theta0):
     import json as _json
 
@@ -195,6 +197,7 @@ def lobpcg_run(
     return theta, X, res, it, hist
 
 
+@fp32_true
 def lobpcg(
     pencil: Pencil,
     nev: int = 5,

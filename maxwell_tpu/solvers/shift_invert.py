@@ -26,6 +26,8 @@ from maxwell_tpu.solvers.operator import Pencil
 from maxwell_tpu.solvers.results import EigenResult
 
 
+from maxwell_tpu.utils.precision import fp32_true
+
 def _si_apply(pencil: Pencil, lu_dev: SparseLUDevice, x: jax.Array) -> jax.Array:
     t = pencil.M_mm(x)
     z = jnp.zeros_like(x)
@@ -86,6 +88,7 @@ def build_shift_invert_op(pencil: Pencil, sigma: float, backend: str = "auto"):
     return jax.tree_util.Partial(_si_apply, pencil, lu_dev)
 
 
+@fp32_true
 def shift_invert_lanczos(
     pencil: Pencil,
     sigma: float,

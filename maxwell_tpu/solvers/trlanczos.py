@@ -30,6 +30,8 @@ from maxwell_tpu.solvers.lanczos import _direct_apply, _project_apply
 from maxwell_tpu.solvers.results import EigenResult
 
 
+from maxwell_tpu.utils.precision import fp32_true
+
 @jax.jit
 def _expand_step(apply_op, pencil, V, MV, j, post=None):
     """One Krylov expansion step from basis column j-1 (j TRACED — one
@@ -60,6 +62,7 @@ def _expand_step(apply_op, pencil, V, MV, j, post=None):
     return V, MV, h, beta
 
 
+@fp32_true
 def thick_restart_lanczos(
     pencil,
     nev: int = 5,

@@ -287,7 +287,10 @@ def bsr_matmat_ref(A: BSRMatrix, X: jax.Array) -> jax.Array:
     Xg = Xb[A.cols]  # (nbr, S, b, m)
     # accumulate at (at least) input precision on the MXU
     acc = jnp.result_type(A.blocks.dtype, X.dtype)
-    Y = jnp.einsum("rsij,rsjm->rim", A.blocks, Xg, preferred_element_type=acc)
+    Y = jnp.einsum(
+        "rsij,rsjm->rim", A.blocks, Xg,
+        preferred_element_type=acc, precision=jax.lax.Precision.HIGHEST,
+    )
     return Y.reshape(A.n_padded, -1)
 
 
