@@ -6,6 +6,15 @@ reachable, CPU otherwise):
   2. Blocked-ELL SpMV/SpMM throughput in nnz/s/chip (north star, BASELINE
      .json:2) for both the XLA einsum path and the Pallas kernel.
   3. A preconditioned LOBPCG solve on a 3D Nedelec cavity (time + residual).
+  4. time-to-1e-8 residual: f32 device solve + f64 host refinement
+     (mixed precision — TPU has no fast f64; solvers/refine.py).
+
+Timing method: the axon runtime makes naive wall clocks unreliable —
+block_until_ready does not fence chained device work, identical
+(executable, input) dispatches can be cache-served, and per-dispatch
+tunnel overhead is ~1-10 ms. Every kernel is therefore timed as a
+dependent in-jit chain with a host-fetch fence, and the reported time is
+the slope between two chain lengths (see _timeit_chain).
 
 Prints ONE JSON line:
   {"metric": "spmv_nnz_per_s_per_chip", "value": ..., "unit": "nnz/s",
@@ -19,18 +28,47 @@ Details land in bench_details.json next to this file.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def _timeit(fn, iters=20, warmup=3):
-    for _ in range(warmup):
-        fn()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fn()
-    return (time.perf_counter() - t0) / iters
+def _timeit_chain(fn, x0, iters=16, repeats=2):
+    """Time `fn` (shape/dtype-preserving) as a dependent in-jit chain.
+
+    Axon-runtime-proof timing (all measured on the target chip):
+    - `block_until_ready` does NOT wait for chained device work on the
+      axon platform (it reported 250 TB/s "bandwidth"); a 1-element host
+      fetch does wait, so that is the fence.
+    - repeated calls with an identical (executable, input) pair can be
+      served from a cache, so the chain feeds each call's output into
+      the next call's input.
+    - the fixed dispatch+fetch overhead over the tunnel is ~1-10 ms, so
+      the estimate is the SLOPE between a k-pass and a 2k-pass chain,
+      which cancels it.
+    """
+    import jax
+
+    def run(k):
+        f = jax.jit(
+            lambda x: jax.lax.fori_loop(0, k, lambda i, y: fn(y), x)
+        )
+        y = f(x0)
+        np.asarray(y.ravel()[:1])  # compile + warm, host-fetch fence
+        best = np.inf
+        for _ in range(repeats):
+            y = f(x0)
+            t0 = time.perf_counter()
+            for _i in range(3):
+                y = f(y)
+            np.asarray(y.ravel()[:1])
+            best = min(best, time.perf_counter() - t0)
+        return best / 3.0
+
+    t1 = run(iters)
+    t2 = run(2 * iters)
+    return max((t2 - t1) / iters, 1e-12)
 
 
 def main():
@@ -41,8 +79,6 @@ def main():
     except Exception as e:
         # TPU (axon) tunnel unavailable — fall back to CPU so the bench
         # still reports a structural number instead of crashing.
-        import sys
-
         print(
             f"backend init failed ({e!r}); falling back to CPU",
             file=sys.stderr, flush=True,
@@ -57,11 +93,10 @@ def main():
     # ---- 1. HBM copy roofline -------------------------------------------
     nbytes = 256 * 1024 * 1024 if platform != "cpu" else 64 * 1024 * 1024
     big = jnp.ones((nbytes // 4,), jnp.float32)
-    copy = jax.jit(lambda x: x + 1.0)
-    copy(big).block_until_ready()
-    t = _timeit(lambda: copy(big).block_until_ready(), iters=10)
-    # read + write
-    bw = 2 * nbytes / t
+    print("bench: hbm...", file=sys.stderr, flush=True)
+    # abs() keeps XLA from folding the chain into a single x + k pass
+    t = _timeit_chain(lambda x: jnp.abs(x) + 1.0, big, iters=20)
+    bw = 2 * nbytes / t  # read + write
     details["hbm_copy_GBps"] = bw / 1e9
 
     # ---- 2. SpMV / SpMM throughput --------------------------------------
@@ -89,11 +124,10 @@ def main():
     X = jax.random.normal(key, (A.n_padded, m), jnp.float32)
     X4 = X[: A4.n_padded]
 
-    ref_mm = jax.jit(bsr_matmat_ref)
-    ref_mm(A, X).block_until_ready()
-    t_ref8 = _timeit(lambda: ref_mm(A, X).block_until_ready())
-    ref_mm(A4, X4).block_until_ready()
-    t_ref4 = _timeit(lambda: ref_mm(A4, X4).block_until_ready())
+    print("bench: spmm_ref8...", file=sys.stderr, flush=True)
+    t_ref8 = _timeit_chain(lambda Y: bsr_matmat_ref(A, Y), X)
+    print("bench: spmm_ref4...", file=sys.stderr, flush=True)
+    t_ref4 = _timeit_chain(lambda Y: bsr_matmat_ref(A4, Y), X4)
     details["spmm_time_ref_b8_s"] = t_ref8
     details["spmm_time_ref_b4_s"] = t_ref4
     t_ref = min(t_ref8, t_ref4)
@@ -101,9 +135,8 @@ def main():
     t_pal = None
     if platform != "cpu":
         try:
-            pal = jax.jit(bsr_matmat_pallas)
-            pal(A, X).block_until_ready()
-            t_pal = _timeit(lambda: pal(A, X).block_until_ready())
+            print("bench: pallas...", file=sys.stderr, flush=True)
+            t_pal = _timeit_chain(lambda Y: bsr_matmat_pallas(A, Y), X)
         except Exception as e:  # pragma: no cover - depends on backend
             details["pallas_error"] = repr(e)
 
@@ -127,9 +160,8 @@ def main():
             nx=grid, ny=grid, nz=grid, dtype=jnp.float32
         )
         Xs = jax.random.normal(key, (stp.n_padded, m), jnp.float32)
-        st_mm = jax.jit(lambda p, x: p.K_mm(x))
-        st_mm(stp, Xs).block_until_ready()
-        t_st = _timeit(lambda: st_mm(stp, Xs).block_until_ready())
+        print("bench: stencil...", file=sys.stderr, flush=True)
+        t_st = _timeit_chain(lambda Y: stp.K_mm(Y), Xs)
         details["stencil_time_s"] = t_st
         details["stencil_effective_nnz_per_s"] = nnz / t_st
     except Exception as e:  # pragma: no cover
@@ -152,11 +184,12 @@ def main():
         from maxwell_tpu.solvers import lobpcg
         from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
 
-        g2 = 10 if platform == "cpu" else 16
+        g2 = 10 if platform == "cpu" else 12
         cav2 = BrickCavity3D(nx=g2, ny=g2, nz=g2)
         pencil = Pencil.from_problem(cav2, block=8, dtype=jnp.float32)
         pc = shifted_cg_preconditioner(pencil, alpha=15.0, iters=16)
         t0 = time.perf_counter()
+        print("bench: lobpcg...", file=sys.stderr, flush=True)
         res = lobpcg(pencil, nev=5, maxiter=80, tol=2e-6, precond=pc)
         t_solve = time.perf_counter() - t0
         details["lobpcg_3d_n"] = pencil.n
@@ -167,17 +200,24 @@ def main():
     except Exception as e:  # pragma: no cover
         details["lobpcg_error"] = repr(e)
 
-    # ---- 3b. time-to-1e-8 residual (THE BASELINE metric) in f64 ----------
+    # ---- 3b. time-to-1e-8 residual (THE BASELINE metric) -----------------
+    # mixed precision: f32 device LOBPCG + f64 host RQI refinement
+    # (solvers/refine.py — TPU f64 is emulated and ~100x slower than f32;
+    # this is the production path to the 1e-8 contract).
     try:
+        from maxwell_tpu.solvers.refine import refine_f64
+
         t0 = time.perf_counter()
-        pencil64 = Pencil.from_problem(cav2, block=8, dtype=jnp.float64)
-        pc64 = shifted_cg_preconditioner(pencil64, alpha=15.0, iters=16)
-        res64 = lobpcg(pencil64, nev=5, maxiter=100, tol=1e-8, precond=pc64)
+        print("bench: time_to_1e8...", file=sys.stderr, flush=True)
+        res32 = lobpcg(pencil, nev=5, maxiter=120, tol=1e-5, precond=pc)
+        ref = refine_f64(
+            cav2, res32.eigenvectors, theta=res32.eigenvalues, tol=1e-8
+        )
         details["time_to_1e8_s"] = time.perf_counter() - t0
-        details["time_to_1e8_converged"] = bool(res64.converged)
-        details["time_to_1e8_iters"] = res64.iterations
-    except Exception as e:  # pragma: no cover - f64 may be unsupported on
-        # some TPU generations; the f32 solve above still reports
+        details["time_to_1e8_converged"] = bool(ref.converged)
+        details["time_to_1e8_iters"] = res32.iterations + ref.iterations
+        details["time_to_1e8_max_res"] = float(ref.residuals.max())
+    except Exception as e:  # pragma: no cover
         details["time_to_1e8_error"] = repr(e)
 
     with open("bench_details.json", "w") as f:

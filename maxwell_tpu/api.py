@@ -25,6 +25,7 @@ def solve(
     kernel: str = "ref",
     distributed: bool = False,
     n_shards: int | None = None,
+    refine: bool | str = "auto",
     **kwargs,
 ):
     """Solve K x = lambda M x for `problem` (RectCavity2D / BrickCavity3D /
@@ -34,11 +35,22 @@ def solve(
     analytic oracle when available), "lanczos", or "shift_invert" (needs
     sigma). kernel: "ref" (XLA einsum) or "pallas" (TPU kernels).
     distributed=True shards over all visible devices (or n_shards).
+
+    refine: mixed-precision polish (solvers/refine.py). "auto" (default)
+    kicks in when dtype is f32 and tol is below the fp32 floor (1e-6):
+    the device solves to 1e-5, then f64 Rayleigh-quotient-shifted
+    inverse-iteration sweeps on the host reach tol. TPU has no fast f64 — this is how the 1e-8
+    residual contract is met at TPU speed (SURVEY.md §6).
     """
     if dtype == jnp.float64:
         import jax
 
         jax.config.update("jax_enable_x64", True)
+
+    want_refine = refine is True or (
+        refine == "auto" and dtype == jnp.float32 and tol < 1e-6
+    )
+    device_tol = max(tol, 1e-5) if want_refine else tol
 
     # auto preconditioner shift: the scale of the smallest wanted mode
     alpha = kwargs.pop("precond_alpha", None)
@@ -61,10 +73,11 @@ def solve(
             problem, D, block=block, kernel=kernel, dtype=dtype
         )
         mesh = make_mesh(D)
-        return lobpcg_dist(
-            dp, mesh, nev=nev, maxiter=maxiter or 200, tol=tol,
+        res = lobpcg_dist(
+            dp, mesh, nev=nev, maxiter=maxiter or 200, tol=device_tol,
             precond_alpha=alpha, **kwargs,
         )
+        return _maybe_refine(problem, res, tol, want_refine)
 
     from maxwell_tpu.solvers.operator import Pencil
 
@@ -76,16 +89,18 @@ def solve(
         from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
 
         pc = shifted_cg_preconditioner(pencil, alpha=alpha, iters=20)
-        return lobpcg(
-            pencil, nev=nev, maxiter=maxiter or 200, tol=tol, precond=pc,
-            **kwargs,
+        res = lobpcg(
+            pencil, nev=nev, maxiter=maxiter or 200, tol=device_tol,
+            precond=pc, **kwargs,
         )
+        return _maybe_refine(problem, res, tol, want_refine)
     if solver == "lanczos":
         from maxwell_tpu.solvers import lanczos
 
-        return lanczos(
-            pencil, nev=nev, maxiter=maxiter or 300, tol=tol, **kwargs
+        res = lanczos(
+            pencil, nev=nev, maxiter=maxiter or 300, tol=device_tol, **kwargs
         )
+        return _maybe_refine(problem, res, tol, want_refine)
     if solver == "shift_invert":
         if sigma is None:
             raise ValueError("shift_invert needs sigma")
@@ -96,3 +111,22 @@ def solve(
             **kwargs,
         )
     raise ValueError(f"unknown solver {solver!r}")
+
+
+def _maybe_refine(problem, res, tol, want_refine):
+    if not want_refine or res.eigenvectors is None:
+        return res
+    from maxwell_tpu.solvers.refine import refine_f64
+    from maxwell_tpu.solvers.results import EigenResult
+
+    ref = refine_f64(
+        problem, res.eigenvectors, theta=res.eigenvalues, tol=tol
+    )
+    return EigenResult(
+        eigenvalues=ref.eigenvalues,
+        eigenvectors=ref.eigenvectors,
+        residuals=ref.residuals,
+        iterations=res.iterations + ref.iterations,
+        converged=ref.converged,
+        history=list(res.history) + ref.history,
+    )

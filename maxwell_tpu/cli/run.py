@@ -64,7 +64,21 @@ def main(argv=None):
         "--save-eigenvectors", default=None,
         help="write eigenpairs (values + vectors) to this .npz",
     )
+    ap.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu", "axon"),
+        help="force the JAX backend (the JAX_PLATFORMS env var is ignored "
+        "in this environment: jax is imported at interpreter startup, so "
+        "only jax.config.update before first backend use works)",
+    )
+    ap.add_argument(
+        "--refine", action="store_true",
+        help="mixed-precision polish: f64 host RQI sweeps push residuals "
+        "to tol after the device solve (assembled operators only; the "
+        "TPU path to 1e-8 — solvers/refine.py)",
+    )
     args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     with open(args.config) as f:
         cfg = json.load(f)
@@ -78,12 +92,24 @@ def main(argv=None):
 
     stg = cfg.get("storage", {})
     dtype = {"f32": jnp.float32, "f64": jnp.float64}[stg.get("dtype", "f64")]
+    use_stencil = stg.get("operator") == "stencil"
+    force_refine = False
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
+        if jax.devices()[0].platform == "tpu":
+            # the axon TPU stores f64 at f32 precision (transfers truncate
+            # through f32) and emulates f64 arithmetic ~100x slower than
+            # f32 — a "f64 on TPU" run would be silently wrong AND slow.
+            print(
+                "f64 requested on a TPU backend: switching to mixed "
+                "precision (f32 device solve + f64 host refinement; "
+                "solvers/refine.py). Pass --platform cpu for true f64.",
+                file=sys.stderr, flush=True,
+            )
+            dtype = jnp.float32
+            force_refine = not use_stencil
     block = stg.get("block")  # None -> per-kernel auto layout
     kernel = stg.get("kernel", "ref")
-
-    use_stencil = stg.get("operator") == "stencil"
     t0 = time.perf_counter()
     # the assembly-free (stencil) path must not pay host CSR assembly —
     # build the assembled problem lazily only where matrices are consumed
@@ -94,6 +120,15 @@ def main(argv=None):
     nev = scfg.get("nev", 5)
     tol = scfg.get("tol", 1e-8)
     maxiter = scfg.get("maxiter", 200)
+    want_refine = args.refine or scfg.get("refine", False) or force_refine
+    if want_refine and use_stencil:
+        raise ValueError(
+            "--refine needs assembled matrices; drop storage.operator=stencil"
+        )
+    # with refinement the device solve only needs the fp32-comfortable part
+    full_tol = tol
+    if want_refine:
+        tol = max(tol, 1e-5)
 
     t0 = time.perf_counter()
     if kind == "lobpcg_dist":
@@ -210,6 +245,21 @@ def main(argv=None):
             raise ValueError(f"unknown solver {kind!r}")
     t_solve = time.perf_counter() - t0
 
+    t_refine = None
+    if want_refine and res.eigenvectors is not None:
+        from maxwell_tpu.solvers.refine import refine_f64
+
+        t0 = time.perf_counter()
+        ref = refine_f64(
+            problem, res.eigenvectors, theta=res.eigenvalues, tol=full_tol
+        )
+        t_refine = time.perf_counter() - t0
+        ref.history = list(res.history) + [
+            dict(h, phase="refine") for h in ref.history
+        ]
+        ref.iterations += res.iterations
+        res = ref
+
     for h in res.history:
         print(json.dumps(h))
 
@@ -226,6 +276,8 @@ def main(argv=None):
         "t_solve_s": t_solve,
         "n": int(n_report),
     }
+    if t_refine is not None:
+        report["t_refine_s"] = t_refine
     if kind != "shift_invert" and cfg.get("problem", {}).get("bc", "pec") == "pec":
         # analytic oracle lists the SMALLEST PEC modes
         try:

@@ -48,8 +48,13 @@ def svqb(S: jax.Array, MS: jax.Array, dot_mm=None, eps: float | None = None):
         eps = 100.0 * float(jnp.finfo(S.dtype).eps)
     G = dot_mm(S, MS)
     G = 0.5 * (G + G.T)
-    d = jnp.sqrt(jnp.maximum(jnp.diag(G), jnp.finfo(G.dtype).tiny))
-    Dinv = 1.0 / d
+    # mask dead columns (zero/negligible diagonal) at the scaling step with
+    # a RELATIVE cutoff — an absolute floor like finfo.tiny overflows to
+    # inf*0=NaN in 1/sqrt on backends that flush small constants (the axon
+    # TPU transfers f64 through f32, so f64 tiny reads back as 0)
+    dg = jnp.diag(G)
+    ok = dg > jnp.max(dg) * jnp.finfo(G.dtype).eps ** 2
+    Dinv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, dg, 1.0)), 0.0)
     Gs = G * Dinv[:, None] * Dinv[None, :]
     theta, V = jnp.linalg.eigh(Gs)
     good = theta > eps * jnp.max(theta)
