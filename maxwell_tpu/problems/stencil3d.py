@@ -28,6 +28,53 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+# Local edge table for the hex element (matches the panel order in
+# _element_apply_multi / problems.cavity3d.hex_element_matrices):
+# (component, cell-relative offset): locals 0-3 are x-edges at (0, b, g),
+# 4-7 y-edges at (a, 0, g), 8-11 z-edges at (a, b, 0) for a,b,g in {0,1}.
+_LOCAL_EDGES = (
+    (0, (0, 0, 0)), (0, (0, 1, 0)), (0, (0, 0, 1)), (0, (0, 1, 1)),
+    (1, (0, 0, 0)), (1, (1, 0, 0)), (1, (0, 0, 1)), (1, (1, 0, 1)),
+    (2, (0, 0, 0)), (2, (1, 0, 0)), (2, (0, 1, 0)), (2, (1, 1, 0)),
+)
+
+
+def _derive_taps(Ke, Me):
+    """Collapse the per-cell (12x12) element apply into a translation-
+    invariant tap stencil (gather form).
+
+    For output edge p of component alpha, each element pair (a, b) with
+    comp(a)=alpha contributes E[a,b] * X_{comp(b)}[p + (o_b - o_a)] from the
+    cell at p - o_a.  Grouping by (beta, delta) is exact on every UNMASKED
+    PEC row: a row is unmasked iff all its adjacent cells exist, so every
+    grouped pair's cell is valid there; masked rows are zeroed afterwards
+    anyway.  (PMC keeps boundary rows live -> fast path disabled there.)
+
+    Returns: tuple over alpha in (x,y,z) of tuples
+    (beta, (dx,dy,dz), coefK, coefM), taps with both coefficients zero
+    dropped.  ~33 taps per component (matches the assembled row nnz).
+    """
+    taps = []
+    for alpha in range(3):
+        acc = {}
+        for a, (ca, oa) in enumerate(_LOCAL_EDGES):
+            if ca != alpha:
+                continue
+            for b, (cb, ob) in enumerate(_LOCAL_EDGES):
+                d = (ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+                k = (cb, d)
+                cK, cM = acc.get(k, (0.0, 0.0))
+                acc[k] = (cK + float(Ke[a, b]), cM + float(Me[a, b]))
+        taps.append(
+            tuple(
+                (beta, d, cK, cM)
+                for (beta, d), (cK, cM) in sorted(acc.items())
+                if cK != 0.0 or cM != 0.0
+            )
+        )
+    return tuple(taps)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class StencilPencil3D:
@@ -58,6 +105,9 @@ class StencilPencil3D:
     # exact tensor-product nodal solver (vacuum only) — replaces the
     # projector's CG with six dense 1D transforms (solvers/fast_poisson.py)
     fastproj: "object | None" = None
+    # translation-invariant tap stencil (vacuum + PEC only; see
+    # _derive_taps). Static python floats -> lives in pytree aux data.
+    taps: tuple | None = None
 
     def tree_flatten(self):
         return (
@@ -66,14 +116,15 @@ class StencilPencil3D:
         ), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
+            self.taps,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         mask, Ke, Me, proj, inv_mu, eps, fastproj = children
         return cls(
-            mask, Ke, Me, proj, *aux, inv_mu=inv_mu, eps=eps,
-            fastproj=fastproj,
+            mask, Ke, Me, proj, *aux[:-1], inv_mu=inv_mu, eps=eps,
+            fastproj=fastproj, taps=aux[-1],
         )
 
     @property
@@ -185,13 +236,70 @@ class StencilPencil3D:
         out = self._element_apply_multi(E, Xl, scales=(scale,))[0]
         return out[:, 0] if vec else out
 
+    # --- the tap-stencil fast path (vacuum + PEC) --------------------------
+    def _taps_apply(self, X, want_K, want_M):
+        """Fused shifted-slice apply: no panel stack, no scatter — every tap
+        is a static slice of a once-padded field, so XLA fuses each output
+        component into one VPU loop with zero intermediate HBM traffic.
+        Returns (YK or None, YM or None)."""
+        vec = X.ndim == 1
+        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+        m = Xl.shape[1]
+        grids = self._to_grids(Xl)
+        shapes = [g.shape for g in grids]
+        # m minor would leave 128-m lanes idle; lead with m so the (large)
+        # z axis rides the lanes and tap shifts are cheap lane rotations
+        P = [
+            jnp.pad(
+                jnp.moveaxis(g, -1, 0), ((0, 0), (1, 1), (1, 1), (1, 1))
+            )
+            for g in grids
+        ]
+        outK, outM = [], []
+        for alpha in range(3):
+            s = shapes[alpha]
+            accK = None
+            accM = None
+            for beta, (dx, dy, dz), cK, cM in self.taps[alpha]:
+                sl = P[beta][
+                    :,
+                    1 + dx : 1 + dx + s[0],
+                    1 + dy : 1 + dy + s[1],
+                    1 + dz : 1 + dz + s[2],
+                ]
+                if want_K and cK != 0.0:
+                    t = cK * sl
+                    accK = t if accK is None else accK + t
+                if want_M and cM != 0.0:
+                    t = cM * sl
+                    accM = t if accM is None else accM + t
+            outK.append(accK)
+            outM.append(accM)
+
+        def pack(Ys):
+            Ys = [jnp.moveaxis(Y, 0, -1) for Y in Ys]
+            out = self._from_grids(*Ys, m) * self.mask[:, None]
+            return out[:, 0] if vec else out
+
+        return (
+            pack(outK) if want_K else None,
+            pack(outM) if want_M else None,
+        )
+
     def K_mm(self, X):
+        if self.taps is not None:
+            return self._taps_apply(X, True, False)[0]
         return self._element_apply(self.Ke, X, scale=self.inv_mu)
 
     def M_mm(self, X):
+        if self.taps is not None:
+            return self._taps_apply(X, False, True)[1]
         return self._element_apply(self.Me, X, scale=self.eps)
 
     def KM_mm(self, X):
+        if self.taps is not None:
+            # fused taps: the shared slices are loaded once for K and M
+            return self._taps_apply(X, True, True)
         # fused: one panel gather + one (24x12) contraction for K and M
         E2 = jnp.concatenate([self.Ke, self.Me], axis=0)
         Y2 = self._element_apply_multi(E2, X, scales=(self.inv_mu, self.eps))
@@ -322,6 +430,13 @@ class StencilPencil3D:
             from maxwell_tpu.solvers.fast_poisson import FastPoisson3D
 
             fastproj = FastPoisson3D.build(a, b, c, nx, ny, nz, dtype=dtype)
+        # tap-stencil fast path: exact only when every unmasked row has all
+        # adjacent cells valid (PEC) and coefficients are cell-independent
+        taps = (
+            _derive_taps(Ke, Me)
+            if (eps_r is None and mu_r is None and bc == "pec")
+            else None
+        )
         return StencilPencil3D(
             mask=jnp.asarray(mask),
             Ke=jnp.asarray(Ke, dtype=dtype),
@@ -333,4 +448,5 @@ class StencilPencil3D:
             ),
             eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
             fastproj=fastproj,
+            taps=taps,
         )

@@ -260,3 +260,38 @@ def test_stencil_pmc_matches_assembled_spectrum():
     res = lobpcg(stp, nev=3, maxiter=150, tol=1e-9, precond=pc)
     assert res.converged
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-7)
+
+
+def test_stencil3d_taps_vs_panel_paths():
+    """The translation-invariant tap fast path (vacuum+PEC) must reproduce
+    the per-cell panel apply exactly: matvec, matmat, and the fused KM."""
+    from maxwell_tpu.problems.stencil3d import StencilPencil3D
+
+    stp = StencilPencil3D.build(
+        a=1.1, b=0.7, c=1.4, nx=5, ny=7, nz=6, dtype=jnp.float64
+    )
+    assert stp.taps is not None  # vacuum + PEC enables the fast path
+    assert all(len(t) == 33 for t in stp.taps)  # assembled row nnz
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.standard_normal((stp.n_padded, 3)))
+    YK, YM = stp._taps_apply(X, True, True)
+    YK_ref = stp._element_apply(stp.Ke, X)
+    YM_ref = stp._element_apply(stp.Me, X)
+    np.testing.assert_allclose(np.asarray(YK), np.asarray(YK_ref),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(YM), np.asarray(YM_ref),
+                               rtol=1e-13, atol=1e-13)
+    # fused KM dispatch + the vector (ndim==1) case
+    YK2, YM2 = stp.KM_mm(X)
+    np.testing.assert_allclose(np.asarray(YK2), np.asarray(YK), atol=0)
+    v = X[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(stp.K_mm(v)), np.asarray(YK)[:, 0], atol=0
+    )
+    # materials / PMC builds must NOT take the fast path
+    pmc = StencilPencil3D.build(nx=3, ny=3, nz=3, bc="pmc")
+    assert pmc.taps is None
+    mat = StencilPencil3D.build(
+        nx=3, ny=3, nz=3, eps_r=np.ones((3, 3, 3))
+    )
+    assert mat.taps is None
