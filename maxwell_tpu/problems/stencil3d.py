@@ -258,8 +258,10 @@ class StencilPencil3D:
         outK, outM = [], []
         for alpha in range(3):
             s = shapes[alpha]
-            accK = None
-            accM = None
+            # zero init: a component with no surviving taps (possible if the
+            # element matrices change) must yield zeros, not crash pack()
+            accK = jnp.zeros((m,) + tuple(s[:-1]), Xl.dtype)
+            accM = accK
             for beta, (dx, dy, dz), cK, cM in self.taps[alpha]:
                 sl = P[beta][
                     :,
@@ -432,8 +434,12 @@ class StencilPencil3D:
             fastproj = FastPoisson3D.build(a, b, c, nx, ny, nz, dtype=dtype)
         # tap-stencil fast path: exact only when every unmasked row has all
         # adjacent cells valid (PEC) and coefficients are cell-independent
+        # derive taps from the dtype-CAST element matrices so the tap and
+        # panel paths agree at the production dtype (f32), not only at f64
+        # (advisor finding, round 1)
+        np_dt = np.dtype(jnp.zeros((), dtype).dtype)
         taps = (
-            _derive_taps(Ke, Me)
+            _derive_taps(np.asarray(Ke, np_dt), np.asarray(Me, np_dt))
             if (eps_r is None and mu_r is None and bc == "pec")
             else None
         )

@@ -282,11 +282,15 @@ def test_stencil3d_taps_vs_panel_paths():
     np.testing.assert_allclose(np.asarray(YM), np.asarray(YM_ref),
                                rtol=1e-13, atol=1e-13)
     # fused KM dispatch + the vector (ndim==1) case
+    # tight tolerance, not bitwise: distinct compiled programs are not
+    # guaranteed bit-identical across backends (advisor finding, round 1)
     YK2, YM2 = stp.KM_mm(X)
-    np.testing.assert_allclose(np.asarray(YK2), np.asarray(YK), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(YK2), np.asarray(YK), rtol=1e-14, atol=1e-14
+    )
     v = X[:, 0]
     np.testing.assert_allclose(
-        np.asarray(stp.K_mm(v)), np.asarray(YK)[:, 0], atol=0
+        np.asarray(stp.K_mm(v)), np.asarray(YK)[:, 0], rtol=1e-14, atol=1e-14
     )
     # materials / PMC builds must NOT take the fast path
     pmc = StencilPencil3D.build(nx=3, ny=3, nz=3, bc="pmc")
@@ -295,3 +299,27 @@ def test_stencil3d_taps_vs_panel_paths():
         nx=3, ny=3, nz=3, eps_r=np.ones((3, 3, 3))
     )
     assert mat.taps is None
+
+
+def test_stencil3d_taps_vs_panel_f32():
+    """Tap/panel agreement at the production dtype (f32): taps are derived
+    from the dtype-cast element matrices (advisor finding, round 1)."""
+    from maxwell_tpu.problems.stencil3d import StencilPencil3D
+
+    stp = StencilPencil3D.build(
+        a=1.1, b=0.7, c=1.4, nx=4, ny=5, nz=3, dtype=jnp.float32
+    )
+    assert stp.taps is not None
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(
+        rng.standard_normal((stp.n_padded, 2)).astype(np.float32)
+    )
+    YK, YM = stp._taps_apply(X, True, True)
+    YK_ref = stp._element_apply(stp.Ke, X)
+    YM_ref = stp._element_apply(stp.Me, X)
+    np.testing.assert_allclose(
+        np.asarray(YK), np.asarray(YK_ref), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(YM), np.asarray(YM_ref), rtol=2e-5, atol=2e-5
+    )
