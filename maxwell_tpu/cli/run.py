@@ -72,9 +72,10 @@ def main(argv=None):
     )
     ap.add_argument(
         "--refine", action="store_true",
-        help="mixed-precision polish: f64 host RQI sweeps push residuals "
-        "to tol after the device solve (assembled operators only; the "
-        "TPU path to 1e-8 — solvers/refine.py)",
+        help="mixed-precision polish to tol after the device solve: f64 "
+        "host RQI sweeps for assembled operators, warm-started f64 CPU "
+        "LOBPCG for matrix-free (stencil) pencils — the TPU path to 1e-8 "
+        "(solvers/refine.py)",
     )
     args = ap.parse_args(argv)
     if args.platform:
@@ -107,7 +108,7 @@ def main(argv=None):
                 file=sys.stderr, flush=True,
             )
             dtype = jnp.float32
-            force_refine = not use_stencil
+            force_refine = True
     block = stg.get("block")  # None -> per-kernel auto layout
     kernel = stg.get("kernel", "ref")
     t0 = time.perf_counter()
@@ -121,10 +122,6 @@ def main(argv=None):
     tol = scfg.get("tol", 1e-8)
     maxiter = scfg.get("maxiter", 200)
     want_refine = args.refine or scfg.get("refine", False) or force_refine
-    if want_refine and use_stencil:
-        raise ValueError(
-            "--refine needs assembled matrices; drop storage.operator=stencil"
-        )
     # with refinement the device solve only needs the fp32-comfortable part
     full_tol = tol
     if want_refine:
@@ -247,12 +244,48 @@ def main(argv=None):
 
     t_refine = None
     if want_refine and res.eigenvectors is not None:
-        from maxwell_tpu.solvers.refine import refine_f64
-
         t0 = time.perf_counter()
-        ref = refine_f64(
-            problem, res.eigenvectors, theta=res.eigenvalues, tol=full_tol
-        )
+        if use_stencil:
+            # matrix-free polish: rebuild the SAME stencil pencil at f64 on
+            # CPU and continue LOBPCG from the f32 block — never assembles K
+            # (VERDICT.md round-1 item 3; BASELINE "time-to-1e-8")
+            from maxwell_tpu.solvers.refine import refine_f64_pencil
+
+            pcfg = cfg.get("problem", {})
+            if pcfg.get("kind", "rect2d") == "rect2d":
+                from maxwell_tpu.problems.stencil2d import StencilPencil2D
+
+                def build_f64():
+                    return StencilPencil2D.build(
+                        a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
+                        nx=pcfg.get("nx", 16), ny=pcfg.get("ny", 16),
+                        dtype=jnp.float64, block=block or 8,
+                        bc=pcfg.get("bc", "pec"),
+                    )
+            else:
+                from maxwell_tpu.problems.stencil3d import StencilPencil3D
+
+                def build_f64():
+                    return StencilPencil3D.build(
+                        a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
+                        c=pcfg.get("c", 1.0), nx=pcfg.get("nx", 8),
+                        ny=pcfg.get("ny", 8), nz=pcfg.get("nz", 8),
+                        dtype=jnp.float64, block=block or 8,
+                        bc=pcfg.get("bc", "pec"),
+                    )
+
+            ref = refine_f64_pencil(
+                build_f64, res.eigenvectors, tol=full_tol,
+                precond_alpha=scfg.get("precond_alpha", 15.0),
+                precond_iters=scfg.get("precond_iters", 16),
+            )
+        else:
+            from maxwell_tpu.solvers.refine import refine_f64
+
+            ref = refine_f64(
+                problem, res.eigenvectors, theta=res.eigenvalues,
+                tol=full_tol,
+            )
         t_refine = time.perf_counter() - t0
         ref.history = list(res.history) + [
             dict(h, phase="refine") for h in ref.history
