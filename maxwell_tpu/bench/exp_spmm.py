@@ -223,6 +223,40 @@ def main():
             )(A.cols, X)
         return run
 
+    def make_v6_smem(prec, m):
+        # v5 with cols scalar reads from SMEM instead of VMEM
+        def kernel(cols_ref, blocks_ref, x_ref, o_ref):
+            panels = []
+            for r in range(R):
+                parts = [
+                    x_ref[pl.ds(cols_ref[r, s] * b, b), :] for s in range(S)
+                ]
+                panels.append(jnp.concatenate(parts, axis=0))
+            xg = jnp.stack(panels)
+            acc = jnp.einsum(
+                "rik,rkm->rim", blocks_ref[:], xg,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            o_ref[:] = acc.reshape(R * b, m)
+
+        @jax.jit
+        def run(X):
+            return pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((R, S), lambda i: (i, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((R, b, S * b), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((R * b, m), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((A.n_padded, m), jnp.float32),
+            )(A.cols, blocks3d, X)
+        return run
+
     def make_v5_batched(prec, m):
         def kernel(cols_ref, blocks_ref, x_ref, o_ref):
             panels = []
@@ -260,7 +294,7 @@ def main():
     HI = jax.lax.Precision.HIGHEST
     DE = jax.lax.Precision.DEFAULT
 
-    for m in (8, 32, 128):
+    for m in (8, 32, 64, 128):
         if only_m is not None and m != only_m:
             continue
         X = jax.random.normal(key, (A.n_padded, m), jnp.float32)
@@ -280,6 +314,7 @@ def main():
         variants["v2_panel_def"] = make_v1(DE, m)
         variants["v5_batched_hi"] = make_v5_batched(HI, m)
         variants["v5_batched_def"] = make_v5_batched(DE, m)
+        variants["v6_smem_hi"] = make_v6_smem(HI, m)
 
         for name, fn in variants.items():
             if only_variant is not None and name != only_variant:

@@ -258,11 +258,15 @@ class DistStencilPencil3D:
 
     def KM_mm(self, X):
         # fused: one panel gather + one (24x12) contraction for K and M
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
         E2 = jnp.concatenate([self.Ke, self.Me], axis=0)
         Y2 = self._element_apply_multi(
-            E2, X,
+            E2, Xl,
             scales=(self._cell_grid(self.inv_mu), self._cell_grid(self.eps)),
         )
+        if vec:
+            return Y2[0][:, 0], Y2[1][:, 0]
         return Y2[0], Y2[1]
 
     def Minv_mm(self, X):
@@ -284,9 +288,18 @@ class DistStencilPencil3D:
         return w * (phi_ext[self.head] - phi_ext[self.tail])
 
     def _gt_mm(self, y):
-        """(nn_loc, m) <- G^T y with interface partial-sum exchange."""
+        """(nn_loc, m) <- G^T y with interface partial-sum exchange.
+
+        The scatter is OWNERSHIP-weighted (w_dot): interface y/z edges are
+        duplicated in both neighboring slabs with consistent values, so an
+        unweighted scatter counts them twice after _iface_sum — that made
+        G^T here the adjoint of a slightly different operator than G, i.e.
+        an OBLIQUE (non-M-self-adjoint) gradient projector. LOBPCG tolerated
+        the obliqueness; Lanczos did not (round-2 distributed shift-invert
+        debugging)."""
         w = self.gweight if y.ndim == 1 else self.gweight[:, None]
-        wy = w * y
+        own = self.w_dot if y.ndim == 1 else self.w_dot[:, None]
+        wy = w * own * y
         m = y.shape[1] if y.ndim > 1 else 1
         wy2 = wy if y.ndim > 1 else wy[:, None]
         out = jnp.zeros((self.nn_loc + 1, m), y.dtype)

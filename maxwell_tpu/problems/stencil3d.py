@@ -303,8 +303,12 @@ class StencilPencil3D:
             # fused taps: the shared slices are loaded once for K and M
             return self._taps_apply(X, True, True)
         # fused: one panel gather + one (24x12) contraction for K and M
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
         E2 = jnp.concatenate([self.Ke, self.Me], axis=0)
-        Y2 = self._element_apply_multi(E2, X, scales=(self.inv_mu, self.eps))
+        Y2 = self._element_apply_multi(E2, Xl, scales=(self.inv_mu, self.eps))
+        if vec:
+            return Y2[0][:, 0], Y2[1][:, 0]
         return Y2[0], Y2[1]
 
     def Minv_mm(self, X):
