@@ -61,6 +61,11 @@ def main(argv=None):
     ap.add_argument("--maxiter", type=int, default=None)
     ap.add_argument("--checkpoint", default=None, help="state file for save/resume")
     ap.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="also save the Ritz block every K iterations from inside the "
+        "compiled loop (kill-mid-solve recovery; SURVEY.md §5.4)",
+    )
+    ap.add_argument(
         "--save-eigenvectors", default=None,
         help="write eigenpairs (values + vectors) to this .npz",
     )
@@ -160,6 +165,7 @@ def main(argv=None):
             precond_alpha=scfg.get("precond_alpha"),
             precond_iters=scfg.get("precond_iters", 20),
             checkpoint=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
     else:
         pcfg = cfg.get("problem", {})
@@ -236,6 +242,7 @@ def main(argv=None):
                 tol=tol,
                 precond=pc,
                 checkpoint=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
                 log_every=scfg.get("log_every", 0),
             )
         else:

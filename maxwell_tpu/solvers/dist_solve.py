@@ -30,7 +30,10 @@ from maxwell_tpu.solvers.results import EigenResult
 
 from maxwell_tpu.utils.precision import fp32_true
 
-def _run_local(pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters):
+def _run_local(
+    pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters,
+    checkpoint_every=0, checkpoint_path=None, prev_iters=0,
+):
     """Body executed per shard: project the start block, build the local
     preconditioner, run the shared LOBPCG loop."""
     X0 = pencil.project(X0)
@@ -39,7 +42,11 @@ def _run_local(pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters):
         precond = jax.tree_util.Partial(
             _precond_apply, pencil, precond_alpha, precond_iters
         )
-    return lobpcg_run(pencil, X0, maxiter, tol, precond, nev=nev)
+    return lobpcg_run(
+        pencil, X0, maxiter, tol, precond, nev=nev,
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        prev_iters=prev_iters,
+    )
 
 
 @fp32_true
@@ -54,11 +61,14 @@ def lobpcg_dist(
     precond_alpha: float | None = None,
     precond_iters: int = 20,
     checkpoint: str | None = None,
+    checkpoint_every: int = 0,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
-    (SURVEY.md §5.4) — vectors stored in the ORIGINAL problem ordering, so
-    checkpoints are portable across shard counts."""
+    (SURVEY.md §5.4) — the exit-time file stores vectors in the ORIGINAL
+    problem ordering (portable across shard counts); checkpoint_every > 0
+    additionally writes per-shard in-loop snapshots every k iterations
+    (kill-mid-solve recovery, same shard count)."""
     if m is None:
         m = nev + max(4, nev // 2)
     if key is None:
@@ -67,12 +77,21 @@ def lobpcg_dist(
     X0 = None
     prev_iters = 0
     if checkpoint is not None:
-        from maxwell_tpu.utils.checkpoint import load_state
+        from maxwell_tpu.utils.checkpoint import (
+            load_sharded_state,
+            load_state,
+        )
 
         state = load_state(checkpoint)
         if state is not None and state["X"].shape[1] == m:
             X0 = dpencil.inject_vectors(state["X"])
             prev_iters = state["iteration"]
+        else:
+            # fall back to in-loop per-shard snapshots (stacked layout)
+            sstate = load_sharded_state(checkpoint, dpencil.D)
+            if sstate is not None and sstate["X"].shape[1] == m:
+                X0 = jnp.asarray(sstate["X"], dpencil.dtype)
+                prev_iters = sstate["iteration"]
     if X0 is None:
         X0 = dpencil.make_block(key, m)
 
@@ -83,6 +102,9 @@ def lobpcg_dist(
         nev=nev,
         precond_alpha=precond_alpha,
         precond_iters=precond_iters,
+        checkpoint_every=checkpoint_every if checkpoint else 0,
+        checkpoint_path=checkpoint,
+        prev_iters=prev_iters,
     )
     mapped = jax.shard_map(
         run,

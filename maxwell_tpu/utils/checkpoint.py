@@ -46,3 +46,23 @@ def load_state(path: str):
             "theta": z["theta"],
             "iteration": int(z["iteration"]),
         }
+
+
+def load_sharded_state(path: str, D: int):
+    """Reassemble in-loop per-shard snapshots `{path}.shard{d}` written by
+    the distributed LOBPCG loop. Returns {"X": (D*n_loc_pad, m) stacked
+    local layout, "iteration"} or None if any shard file is missing.
+    NOT shard-count portable (use the exit-time file for that) — this is
+    the kill-mid-solve recovery path (SURVEY.md §5.3/§5.4)."""
+    shards = []
+    iteration = None
+    for d in range(D):
+        s = load_state(f"{path}.shard{d}")
+        if s is None:
+            return None
+        shards.append(s["X"])
+        # shards may be a step apart if the kill landed mid-save; resume
+        # from the OLDEST complete iteration
+        it = s["iteration"]
+        iteration = it if iteration is None else min(iteration, it)
+    return {"X": np.concatenate(shards, axis=0), "iteration": iteration}
