@@ -75,6 +75,73 @@ def _derive_taps(Ke, Me):
     return tuple(taps)
 
 
+def _derive_field_taps(Ke, Me, nx, ny, nz, scaleK, scaleM):
+    """Position-dependent tap stencil: the fast path for LOADED cavities and
+    PMC walls (round-1 VERDICT item 9).
+
+    Same grouping as _derive_taps, but each (alpha, beta, delta) tap carries
+    a coefficient GRID instead of a scalar:
+
+        C[p] = sum over element pairs (a, b) of E[a,b] * scale[p - o_a]
+
+    with the per-cell scale grid (1/mu_r for K, eps_r for M) ZERO-padded
+    outside the domain. The zero padding makes the formula exact on EVERY
+    row — including PMC boundary rows whose element sum only runs over the
+    cells that exist — so one mechanism covers materials, PMC, and their
+    combination. Storage: ~33 edge-grid-sized coefficient fields per
+    component per operator (~264 B/row total) — still far below assembled
+    BSR, and the apply stays gather-free static slices.
+
+    Returns (meta, Kgrids, Mgrids): meta = tuple over alpha of tuples
+    (beta, (dx,dy,dz), iK, iM) with iK/iM indices into the flat grid lists
+    (or -1 when that operator has no such tap).
+    """
+    shapes = (
+        (nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1), (nx + 1, ny + 1, nz)
+    )
+    padK = np.zeros((nx + 2, ny + 2, nz + 2), dtype=np.asarray(Ke).dtype)
+    padK[1:-1, 1:-1, 1:-1] = scaleK
+    padM = np.zeros_like(padK)
+    padM[1:-1, 1:-1, 1:-1] = scaleM
+    meta, Kgrids, Mgrids = [], [], []
+    for alpha in range(3):
+        s = shapes[alpha]
+        acc = {}
+        for a, (ca, oa) in enumerate(_LOCAL_EDGES):
+            if ca != alpha:
+                continue
+            # scale grid of the cell p - o_a, as an array over edge index p
+            win = tuple(
+                slice(1 - oa[ax], 1 - oa[ax] + s[ax]) for ax in range(3)
+            )
+            sK = padK[win]
+            sM = padM[win]
+            for b_, (cb, ob) in enumerate(_LOCAL_EDGES):
+                d = (ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+                k = (cb, d)
+                cK, cM = acc.get(k, (0.0, 0.0))
+                acc[k] = (
+                    cK + float(Ke[a, b_]) * sK,
+                    cM + float(Me[a, b_]) * sM,
+                )
+        entries = []
+        for (beta, d), (cK, cM) in sorted(acc.items()):
+            hasK = np.any(np.asarray(cK) != 0.0)
+            hasM = np.any(np.asarray(cM) != 0.0)
+            if not hasK and not hasM:
+                continue
+            iK = iM = -1
+            if hasK:
+                iK = len(Kgrids)
+                Kgrids.append(jnp.asarray(cK))
+            if hasM:
+                iM = len(Mgrids)
+                Mgrids.append(jnp.asarray(cM))
+            entries.append((beta, d, iK, iM))
+        meta.append(tuple(entries))
+    return tuple(meta), tuple(Kgrids), tuple(Mgrids)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class StencilPencil3D:
@@ -108,23 +175,31 @@ class StencilPencil3D:
     # translation-invariant tap stencil (vacuum + PEC only; see
     # _derive_taps). Static python floats -> lives in pytree aux data.
     taps: tuple | None = None
+    # field-coefficient taps (materials / PMC; see _derive_field_taps):
+    # meta is static structure (aux), the coefficient grids are traced
+    ftaps_meta: tuple | None = None
+    ftaps_K: tuple | None = None
+    ftaps_M: tuple | None = None
 
     def tree_flatten(self):
         return (
             self.mask, self.Ke, self.Me, self.proj, self.inv_mu, self.eps,
-            self.fastproj,
+            self.fastproj, self.ftaps_K, self.ftaps_M,
         ), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
-            self.taps,
+            self.taps, self.ftaps_meta,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mask, Ke, Me, proj, inv_mu, eps, fastproj = children
+        (
+            mask, Ke, Me, proj, inv_mu, eps, fastproj, ftaps_K, ftaps_M,
+        ) = children
         return cls(
-            mask, Ke, Me, proj, *aux[:-1], inv_mu=inv_mu, eps=eps,
-            fastproj=fastproj, taps=aux[-1],
+            mask, Ke, Me, proj, *aux[:-2], inv_mu=inv_mu, eps=eps,
+            fastproj=fastproj, taps=aux[-2], ftaps_meta=aux[-1],
+            ftaps_K=ftaps_K, ftaps_M=ftaps_M,
         )
 
     @property
@@ -288,20 +363,72 @@ class StencilPencil3D:
             pack(outM) if want_M else None,
         )
 
+    # --- field-coefficient taps (materials / PMC) --------------------------
+    def _ftaps_apply(self, X, want_K, want_M):
+        """Gather-free shifted-slice apply with position-dependent tap
+        coefficients (_derive_field_taps): exact for per-cell eps/mu and on
+        PMC boundary rows. Same slice structure as _taps_apply; each tap
+        adds one elementwise multiply by its coefficient grid."""
+        vec = X.ndim == 1
+        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+        m = Xl.shape[1]
+        grids = self._to_grids(Xl)
+        shapes = [g.shape for g in grids]
+        P = [
+            jnp.pad(
+                jnp.moveaxis(g, -1, 0), ((0, 0), (1, 1), (1, 1), (1, 1))
+            )
+            for g in grids
+        ]
+        outK, outM = [], []
+        for alpha in range(3):
+            s = shapes[alpha]
+            accK = jnp.zeros((m,) + tuple(s[:-1]), Xl.dtype)
+            accM = accK
+            for beta, (dx, dy, dz), iK, iM in self.ftaps_meta[alpha]:
+                sl = P[beta][
+                    :,
+                    1 + dx : 1 + dx + s[0],
+                    1 + dy : 1 + dy + s[1],
+                    1 + dz : 1 + dz + s[2],
+                ]
+                if want_K and iK >= 0:
+                    accK = accK + self.ftaps_K[iK][None] * sl
+                if want_M and iM >= 0:
+                    accM = accM + self.ftaps_M[iM][None] * sl
+            outK.append(accK)
+            outM.append(accM)
+
+        def pack(Ys):
+            Ys = [jnp.moveaxis(Y, 0, -1) for Y in Ys]
+            out = self._from_grids(*Ys, m) * self.mask[:, None]
+            return out[:, 0] if vec else out
+
+        return (
+            pack(outK) if want_K else None,
+            pack(outM) if want_M else None,
+        )
+
     def K_mm(self, X):
         if self.taps is not None:
             return self._taps_apply(X, True, False)[0]
+        if self.ftaps_meta is not None:
+            return self._ftaps_apply(X, True, False)[0]
         return self._element_apply(self.Ke, X, scale=self.inv_mu)
 
     def M_mm(self, X):
         if self.taps is not None:
             return self._taps_apply(X, False, True)[1]
+        if self.ftaps_meta is not None:
+            return self._ftaps_apply(X, False, True)[1]
         return self._element_apply(self.Me, X, scale=self.eps)
 
     def KM_mm(self, X):
         if self.taps is not None:
             # fused taps: the shared slices are loaded once for K and M
             return self._taps_apply(X, True, True)
+        if self.ftaps_meta is not None:
+            return self._ftaps_apply(X, True, True)
         # fused: one panel gather + one (24x12) contraction for K and M
         vec = X.ndim == 1
         Xl = X[:, None] if vec else X
@@ -424,9 +551,15 @@ class StencilPencil3D:
             indexing="ij",
         )
         ni, nj, nk = ni.reshape(-1), nj.reshape(-1), nk.reshape(-1)
-        interior = (
-            (ni > 0) & (ni < nx) & (nj > 0) & (nj < ny) & (nk > 0) & (nk < nz)
-        )
+        if bc == "pec":
+            interior = (
+                (ni > 0) & (ni < nx) & (nj > 0) & (nj < ny)
+                & (nk > 0) & (nk < nz)
+            )
+        else:
+            # natural BC: the gradient nullspace spans ALL nodal hats modulo
+            # the constant — ground node 0 (matches stencil2d)
+            interior = node(ni, nj, nk) != 0
         G = G_full[:, node(ni, nj, nk)[interior]]
         proj = GradientProjector.from_gradient(G.tocsr(), n_padded, dtype=dtype)
 
@@ -447,6 +580,20 @@ class StencilPencil3D:
             if (eps_r is None and mu_r is None and bc == "pec")
             else None
         )
+        # loaded cavities / PMC keep a (field-coefficient) fast path too
+        # (round-1 VERDICT item 9)
+        ftaps_meta = ftaps_K = ftaps_M = None
+        if taps is None:
+            ones = np.ones((nx, ny, nz), np_dt)
+            sK = (
+                ones if mu_r is None
+                else np.asarray(1.0 / np.asarray(mu_r), np_dt)
+            )
+            sM = ones if eps_r is None else np.asarray(eps_r, np_dt)
+            ftaps_meta, ftaps_K, ftaps_M = _derive_field_taps(
+                np.asarray(Ke, np_dt), np.asarray(Me, np_dt),
+                nx, ny, nz, sK, sM,
+            )
         return StencilPencil3D(
             mask=jnp.asarray(mask),
             Ke=jnp.asarray(Ke, dtype=dtype),
@@ -459,4 +606,5 @@ class StencilPencil3D:
             eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
             fastproj=fastproj,
             taps=taps,
+            ftaps_meta=ftaps_meta, ftaps_K=ftaps_K, ftaps_M=ftaps_M,
         )
