@@ -48,9 +48,13 @@ class Pencil:
     kernel: str = "ref"
     mass_tol: float = 1e-12
     mass_iters: int = 300
+    # exact tensor-product nodal solver for the projector (vacuum PEC brick
+    # problems; round-1 VERDICT item 4): replaces the projector's ~100-CG
+    # inner loop with six dense 1D transforms on the MXU
+    fastproj: "object | None" = None
 
     def tree_flatten(self):
-        return (self.K, self.M, self.proj), (
+        return (self.K, self.M, self.proj, self.fastproj), (
             self.kernel,
             self.mass_tol,
             self.mass_iters,
@@ -58,8 +62,11 @@ class Pencil:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        K, M, proj = children
-        return cls(K=K, M=M, proj=proj, kernel=aux[0], mass_tol=aux[1], mass_iters=aux[2])
+        K, M, proj, fastproj = children
+        return cls(
+            K=K, M=M, proj=proj, fastproj=fastproj,
+            kernel=aux[0], mass_tol=aux[1], mass_iters=aux[2],
+        )
 
     # --- shapes -----------------------------------------------------------
     @property
@@ -138,6 +145,12 @@ class Pencil:
         the pencil has no projector)."""
         if self.proj is None:
             return X
+        if self.fastproj is not None:
+            vec = X.ndim == 1
+            Xl = X[:, None] if vec else X
+            rhs = self.proj.gt_mm(self.M_mm(Xl))
+            out = Xl - self.proj.g_mm(self.fastproj.solve(rhs))
+            return out[:, 0] if vec else out
         return self.proj.project(self.M_mm, X)
 
     # --- host-side constructors ------------------------------------------
@@ -165,4 +178,23 @@ class Pencil:
             problem.M, block=block, align_slots=align, dtype=dtype
         )
         proj = GradientProjector.from_gradient(problem.G, K.n_padded, dtype=dtype)
-        return Pencil(K=K, M=M, proj=proj, kernel=kernel)
+        # exact tensor-product projector solve for vacuum PEC bricks — the
+        # base problem's interior-node order (i-major, k-fastest, matching
+        # cavity3d's meshgrid) is exactly FastPoisson3D's layout, and row
+        # permutations (PermutedProblem) don't touch the NODE space, so the
+        # fast solve stays valid for RCM-reordered pencils too.
+        fastproj = None
+        base = getattr(problem, "base", problem)
+        if (
+            getattr(base, "nz", None) is not None
+            and getattr(base, "bc", "pec") == "pec"
+            and getattr(base, "eps_r", None) is None
+            and getattr(base, "mu_r", None) is None
+        ):
+            from maxwell_tpu.solvers.fast_poisson import FastPoisson3D
+
+            fastproj = FastPoisson3D.build(
+                base.a, base.b, base.c, base.nx, base.ny, base.nz,
+                dtype=dtype,
+            )
+        return Pencil(K=K, M=M, proj=proj, kernel=kernel, fastproj=fastproj)

@@ -123,3 +123,30 @@ def test_pmc_3d_duality():
     assert (vals < 1e-8).sum() == cav.G.shape[1] == 6**3 - 1
     nz = np.sort(vals[vals > 1e-8])[:4]
     np.testing.assert_allclose(nz, cav.analytic_eigenvalues(4), rtol=4e-2)
+
+
+def test_assembled_pencil_fast_projector():
+    """Vacuum-PEC assembled 3D pencils get the exact tensor-product
+    projector (round-1 VERDICT item 4); it must agree with the CG projector
+    to roundoff, including under RCM row permutation (node space is
+    untouched by row reordering)."""
+    import jax.numpy as jnp
+
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+    from maxwell_tpu.solvers.operator import Pencil
+
+    for prob in (
+        BrickCavity3D(a=1.1, b=0.9, c=1.2, nx=5, ny=4, nz=6),
+        PermutedProblem(BrickCavity3D(nx=5, ny=5, nz=5)),
+    ):
+        p = Pencil.from_problem(prob, dtype=jnp.float64)
+        assert p.fastproj is not None
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.standard_normal((p.n_padded, 3)))
+        Pf = np.asarray(p.project(X))
+        Pc = np.asarray(p.proj.project(p.M_mm, X, tol=1e-13, maxiter=500))
+        np.testing.assert_allclose(Pf, Pc, atol=1e-11)
+    # materials / PMC / 2D keep the CG projector
+    mat = BrickCavity3D(nx=3, ny=3, nz=3, eps_r=np.ones((3, 3, 3)))
+    assert Pencil.from_problem(mat).fastproj is None
