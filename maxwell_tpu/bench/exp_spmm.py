@@ -294,6 +294,22 @@ def main():
     HI = jax.lax.Precision.HIGHEST
     DE = jax.lax.Precision.DEFAULT
 
+    from maxwell_tpu.sparse.bellpairs import BELLPairs
+    from maxwell_tpu.kernels.spmm import bellpairs_matmat_pallas
+
+    AP = BELLPairs.from_csr(cav.K, block=8, Cp=8, dtype=jnp.float32)
+    results["pairs_stored_MB"] = AP.nnz_dense * 4 / 1e6
+    results["pairs_streamed_MB"] = AP.nnz_streamed * 4 / 1e6
+    print(
+        f"pairs: max_ch={AP.max_ch} stored={AP.nnz_dense*4/1e6:.1f}MB "
+        f"streamed={AP.nnz_streamed*4/1e6:.1f}MB",
+        file=sys.stderr, flush=True,
+    )
+
+    def pairs_roofline(m):
+        byts = AP.nnz_streamed * 4 + AP.cols.size * 4 + 2 * AP.n_padded * m * 4
+        return byts / bw
+
     for m in (8, 32, 64, 128):
         if only_m is not None and m != only_m:
             continue
@@ -315,9 +331,16 @@ def main():
         variants["v5_batched_hi"] = make_v5_batched(HI, m)
         variants["v5_batched_def"] = make_v5_batched(DE, m)
         variants["v6_smem_hi"] = make_v6_smem(HI, m)
+        variants["v7_pairs"] = lambda Y: bellpairs_matmat_pallas(AP, Y)
+        from maxwell_tpu.kernels.spmm import bellpairs_matmat_pallas_windowed
+
+        variants["v8_pairs_win"] = (
+            lambda Y: bellpairs_matmat_pallas_windowed(AP, Y)[: Y.shape[0]]
+        )
+        results[f"pairs_roofline_s_m{m}"] = pairs_roofline(m)
 
         for name, fn in variants.items():
-            if only_variant is not None and name != only_variant:
+            if only_variant is not None and name not in only_variant.split(","):
                 continue
             tag = f"{name}_m{m}"
             try:

@@ -189,6 +189,180 @@ def bsr_matmat_pallas_windowed(
     )(A.win_start, A.cols_rel, A.blocks, Xp, Xp)
 
 
+# ---------------------------------------------------------------------------
+# Paired chunked blocked-ELL kernel (round-2 production; sparse/bellpairs.py)
+# ---------------------------------------------------------------------------
+
+
+def _bellpairs_kernel(nch_ref, cols_ref, vals_ref, x_ref, o_ref, *, R, Cp, b, m):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(j < nch_ref[i])
+    def _chunk():
+        for r in range(R):
+            parts = [
+                x_ref[pl.ds(cols_ref[r, j * Cp + q] * b, 2 * b), :]
+                for q in range(Cp)
+            ]
+            xg = jnp.concatenate(parts, axis=0)  # (Cp*2b, m)
+            o_ref[r * b:(r + 1) * b, :] += jnp.dot(
+                vals_ref[r * b:(r + 1) * b, :],
+                xg,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bellpairs_matmat_pallas(A, X: jax.Array, interpret: bool = False):
+    """Y = A @ X for a BELLPairs matrix; X (n_padded, m) f32, held fully in
+    VMEM. Grid (n_tiles, max_chunks): the chunk index map CLAMPS to the
+    tile's live chunk count, so dead (padding) chunks are never refetched
+    (Pallas elides repeated blocks) nor computed (pl.when). Measured design
+    rationale in sparse/bellpairs.py."""
+    from maxwell_tpu.sparse.bellpairs import BELLPairs  # noqa: F401
+
+    n_pad, m = A.n_padded, X.shape[1]
+    b, Cp = A.b, A.Cp
+    R = 128 // b
+    n_tiles, max_ch = A.n_tiles, A.max_ch
+    # one extra zero block row: pair slices read (2b, m) and a clamped
+    # singleton in the last block-col would otherwise run off the end
+    Xp = jnp.pad(X, ((0, b), (0, 0)))
+    if (
+        X.dtype != jnp.float32
+        or Xp.shape[0] * m * 4 > _VMEM_X_BUDGET
+    ):
+        from maxwell_tpu.sparse.bellpairs import BELLPairs as _BP
+
+        raise ValueError("bellpairs kernel needs f32 X within VMEM budget")
+
+    kernel = functools.partial(_bellpairs_kernel, R=R, Cp=Cp, b=b, m=m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # nch
+        grid=(n_tiles, max_ch),
+        in_specs=[
+            # full per-tile cols row (tiny, SMEM), fetched once per tile —
+            # a (R, Cp) sub-block would violate the TPU lowering's
+            # last-dim-divisibility rule
+            pl.BlockSpec(
+                (R, max_ch * Cp),
+                lambda i, j, nch: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (R * b, Cp * 2 * b),
+                lambda i, j, nch: (i, jnp.minimum(j, nch[i] - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full X resident
+        ],
+        out_specs=pl.BlockSpec(
+            (R * b, m), lambda i, j, nch: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(A.nch, A.cols, A.vals2d, Xp)
+
+
+def _bellpairs_windowed_kernel(
+    nch_ref, ws_ref, cols_ref, vals_ref, xw0_ref, xw1_ref, o_ref,
+    *, R, Cp, b, m,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(j < nch_ref[i])
+    def _chunk():
+        xwin = jnp.concatenate([xw0_ref[:], xw1_ref[:]], axis=0)
+        for r in range(R):
+            parts = [
+                jax.lax.dynamic_slice(
+                    xwin,
+                    (cols_ref[r, j * Cp + q] * jnp.int32(b), jnp.int32(0)),
+                    (2 * b, m),
+                )
+                for q in range(Cp)
+            ]
+            xg = jnp.concatenate(parts, axis=0)
+            o_ref[r * b:(r + 1) * b, :] += jnp.dot(
+                vals_ref[r * b:(r + 1) * b, :],
+                xg,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bellpairs_matmat_pallas_windowed(A, X: jax.Array, interpret: bool = False):
+    """Windowed BELLPairs SpMM: X streamed through two per-tile aligned
+    (Wu*b, m) panels via scalar-prefetched window starts — no X-in-VMEM
+    limit (round-1 VERDICT item 2: the only path that scales past ~12 MB of
+    X). Panels are fetched once per tile (their index map is constant in
+    the chunk index, so Pallas elides the refetch across chunks)."""
+    if A.win_start is None:
+        raise ValueError("no window metadata")
+    n_pad, m = A.n_padded, X.shape[1]
+    b, Cp, Wu = A.b, A.Cp, A.win_unit
+    R = 128 // b
+    n_tiles, max_ch = A.n_tiles, A.max_ch
+
+    x_rows = X.shape[0]
+    total = (-(-(x_rows + b) // (Wu * b)) + 1) * (Wu * b)
+    Xp = jnp.pad(X, ((0, total - x_rows), (0, 0)))
+
+    kernel = functools.partial(
+        _bellpairs_windowed_kernel, R=R, Cp=Cp, b=b, m=m
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # nch, win_start
+        grid=(n_tiles, max_ch),
+        in_specs=[
+            pl.BlockSpec(
+                (R, max_ch * Cp),
+                lambda i, j, nch, ws: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (R * b, Cp * 2 * b),
+                lambda i, j, nch, ws: (i, jnp.minimum(j, nch[i] - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Wu * b, m), lambda i, j, nch, ws: (ws[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Wu * b, m), lambda i, j, nch, ws: (ws[i] + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R * b, m), lambda i, j, nch, ws: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(A.nch, A.win_start, A.cols_rel, A.vals2d, Xp, Xp)
+
+
 def bsr_matvec_pallas(A: BSRMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x. The vector is widened to an (n, 8) panel so the kernel's
     lane dimension stays MXU/VPU-aligned; column 0 carries the data."""

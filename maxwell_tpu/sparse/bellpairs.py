@@ -1,0 +1,228 @@
+"""Paired, per-tile-chunked blocked-ELL storage ("BELLPairs") — the round-2
+production layout for the general-matrix Pallas SpMM (SURVEY.md §2 C4/C5;
+round-1 VERDICT item 1).
+
+Measured on the chip (maxwell_tpu/bench/exp_spmm.py, 24^3 curl-curl, RCM):
+the blocked-ELL kernel is GATHER-BOUND — each dynamic (b, m) X-slice costs
+~3 ns regardless of where the column indices live, while value streaming +
+one (128, S*b)@(S*b, m) dot per tile runs at 91% of the HBM roofline. The
+two layout levers that cut slice count and padded traffic:
+
+1. PAIRS: 92% of this matrix class's blocks sit in runs of >= 2 consecutive
+   block-columns (RCM bands), so slots store (b, 2b) PAIRS of adjacent
+   blocks — one (2b, m) slice covers two blocks. Singleton runs zero-pad
+   the second half of the pair.
+2. PER-TILE CHUNKS: mean real blocks/row is ~28 vs the ELL max of 64 —
+   global ELL padding doubles both traffic and slices. Pair slots are
+   grouped into chunks of Cp; each 128-row tile stores/visits only
+   ceil(max_pairs_in_tile / Cp) chunks. The kernel grid is
+   (n_tiles, max_chunks) with the chunk index CLAMPED in the BlockSpec
+   index map — Pallas elides refetches of repeated blocks, and a pl.when
+   skips the dead compute — so padded chunks cost neither bandwidth nor
+   slices, only HBM capacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BELLPairs:
+    """Paired chunked blocked-ELL matrix.
+
+    vals2d: (n_brows*b, max_ch*Cp*2b) f32 — row r*b+i holds that block row's
+            pair slots side by side; slot q covers block-cols
+            (cols[r, q], cols[r, q]+1).
+    cols:   (n_brows, max_ch*Cp) int32 pair-start block-column (0 padding).
+    nch:    (n_tiles,) int32 — live chunks per 128-row tile.
+    """
+
+    vals2d: jax.Array
+    cols: jax.Array
+    nch: jax.Array
+    n: int
+    b: int = 8
+    Cp: int = 8
+    # windowed-kernel metadata (X too big for VMEM): per-tile aligned X
+    # window start (in win_unit block-row units) and window-relative pair
+    # columns — same scheme as BSRMatrix windows
+    win_start: jax.Array | None = None
+    cols_rel: jax.Array | None = None
+    win_unit: int = 0
+
+    def tree_flatten(self):
+        return (
+            self.vals2d, self.cols, self.nch, self.win_start, self.cols_rel,
+        ), (self.n, self.b, self.Cp, self.win_unit)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        vals2d, cols, nch, win_start, cols_rel = children
+        return cls(
+            vals2d=vals2d, cols=cols, nch=nch, n=aux[0], b=aux[1],
+            Cp=aux[2], win_start=win_start, cols_rel=cols_rel,
+            win_unit=aux[3],
+        )
+
+    @property
+    def n_brows(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def n_padded(self) -> int:
+        return self.n_brows * self.b
+
+    @property
+    def max_ch(self) -> int:
+        return self.cols.shape[1] // self.Cp
+
+    @property
+    def n_tiles(self) -> int:
+        return self.nch.shape[0]
+
+    @property
+    def nnz_dense(self) -> int:
+        """STORED dense entries (HBM capacity)."""
+        return self.vals2d.size
+
+    @property
+    def nnz_streamed(self) -> int:
+        """Entries actually FETCHED per apply (live chunks only) — the
+        bandwidth-relevant count for the roofline."""
+        R = 128 // self.b
+        return int(np.asarray(self.nch).sum()) * R * self.b * self.Cp * 2 * self.b
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_csr(
+        A: sp.spmatrix, block: int = 8, Cp: int = 8, dtype=jnp.float32
+    ) -> "BELLPairs":
+        b = block
+        R = 128 // b
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        n_pad = _round_up(max(n, 1), b * R)
+        A_pad = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+        A_pad.resize((n_pad, n_pad))
+        Ab = A_pad.tobsr(blocksize=(b, b))
+        Ab.sort_indices()
+        indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
+        nbr = n_pad // b
+        n_tiles = nbr // R
+
+        # greedy pairing of sorted block-cols per row
+        pair_starts = []   # per row: list of (start_col, i_left, i_right)
+        maxP = 0
+        for r in range(nbr):
+            lo, hi = indptr[r], indptr[r + 1]
+            cols_r = indices[lo:hi]
+            slots = []
+            k = lo
+            while k < hi:
+                c = cols_r[k - lo]
+                if k + 1 < hi and cols_r[k + 1 - lo] == c + 1:
+                    slots.append((c, k, k + 1))
+                    k += 2
+                else:
+                    slots.append((c, k, -1))
+                    k += 1
+            pair_starts.append(slots)
+            maxP = max(maxP, len(slots))
+
+        nch = np.zeros(n_tiles, dtype=np.int32)
+        for t in range(n_tiles):
+            Pt = max(len(pair_starts[t * R + r]) for r in range(R))
+            nch[t] = -(-max(Pt, 1) // Cp)
+        max_ch = int(nch.max())
+        Q = max_ch * Cp
+
+        np_dt = np.dtype(jnp.zeros((), dtype).dtype)
+        vals = np.zeros((nbr, Q, b, 2 * b), dtype=np_dt)
+        cols = np.zeros((nbr, Q), dtype=np.int32)
+        for r in range(nbr):
+            for q, (c, kl, kr) in enumerate(pair_starts[r]):
+                # clamp so the (2b, m) X slice stays in bounds for a
+                # singleton in the LAST block column
+                if c + 1 >= nbr and kr < 0:
+                    cols[r, q] = c - 1
+                    vals[r, q, :, b:] = data[kl]
+                else:
+                    cols[r, q] = c
+                    vals[r, q, :, :b] = data[kl]
+                    if kr >= 0:
+                        vals[r, q, :, b:] = data[kr]
+        vals2d = np.ascontiguousarray(
+            vals.transpose(0, 2, 1, 3).reshape(nbr * b, Q * 2 * b)
+        )
+
+        # per-tile aligned X-window metadata (live slots only; +1 covers
+        # the pair's second block column)
+        live = np.zeros((nbr, Q), dtype=bool)
+        for r in range(nbr):
+            live[r, : len(pair_starts[r])] = True
+        big = np.where(live, cols, np.iinfo(np.int32).max)
+        small = np.where(live, cols + 1, -1)
+        cmin = np.minimum(
+            big.reshape(n_tiles, R * Q).min(axis=1), max(nbr - 1, 0)
+        )
+        cmax = small.reshape(n_tiles, R * Q).max(axis=1)
+        span = np.maximum(cmax - cmin + 1, 1)
+        W_u = int(span.max())
+        ws = (cmin // W_u).astype(np.int32)
+        rel = cols - np.repeat(ws, R)[:, None] * W_u
+        rel = np.where(live, rel, 0).astype(np.int32)
+        ok = rel.min() >= 0 and not (rel[live] + 1 >= 2 * W_u).any()
+
+        return BELLPairs(
+            vals2d=jnp.asarray(vals2d),
+            cols=jnp.asarray(cols),
+            nch=jnp.asarray(nch),
+            n=n, b=b, Cp=Cp,
+            win_start=jnp.asarray(ws) if ok else None,
+            cols_rel=jnp.asarray(rel) if ok else None,
+            win_unit=W_u if ok else 0,
+        )
+
+    def to_csr(self) -> sp.csr_matrix:
+        """Round-trip for testing."""
+        b, Cp = self.b, self.Cp
+        nbr, Q = self.cols.shape
+        vals = (
+            np.asarray(self.vals2d)
+            .reshape(nbr, b, Q, 2 * b)
+            .transpose(0, 2, 1, 3)
+        )
+        cols = np.asarray(self.cols)
+        rows, cs, blocks = [], [], []
+        for r in range(nbr):
+            for q in range(Q):
+                for half in (0, 1):
+                    blk = vals[r, q, :, half * b : (half + 1) * b]
+                    if np.any(blk != 0.0):
+                        rows.append(r)
+                        cs.append(cols[r, q] + half)
+                        blocks.append(blk)
+        if not rows:
+            return sp.csr_matrix((self.n, self.n))
+        Absr = sp.bsr_matrix(
+            (
+                np.asarray(blocks),
+                np.asarray(cs),
+                np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=nbr))]),
+            ),
+            shape=(self.n_padded, self.n_padded),
+        ).tocsr()
+        # bsr wants column indices sorted per row — rebuild via COO to be safe
+        Absr.sum_duplicates()
+        return Absr[: self.n, : self.n].tocsr()

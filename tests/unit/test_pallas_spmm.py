@@ -69,3 +69,52 @@ def test_pallas_windowed_3d_rcm():
     np.testing.assert_allclose(
         np.asarray(Y), np.asarray(Y_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_bellpairs_roundtrip_and_kernel():
+    """BELLPairs paired/chunked layout: exact CSR round-trip and the
+    chunked-grid Pallas kernel (interpret mode) vs scipy (round-2
+    production kernel; sparse/bellpairs.py design note)."""
+    import scipy.sparse as sp
+
+    from maxwell_tpu.kernels.spmm import bellpairs_matmat_pallas
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.bellpairs import BELLPairs
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    cav = PermutedProblem(BrickCavity3D(nx=6, ny=5, nz=4))
+    A = BELLPairs.from_csr(cav.K, block=8, Cp=8, dtype=jnp.float32)
+    K32 = sp.csr_matrix(cav.K, dtype=np.float32)
+    assert abs(A.to_csr() - K32).max() == 0.0
+    # streamed traffic must not exceed stored (chunk clamping is live)
+    assert A.nnz_streamed <= A.nnz_dense
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((A.n_padded, 8)).astype(np.float32))
+    Y = bellpairs_matmat_pallas(A, X, interpret=True)
+    Yref = K32 @ np.asarray(X)[: cav.K.shape[0]]
+    err = np.abs(np.asarray(Y)[: cav.K.shape[0]] - Yref).max()
+    assert err <= 1e-5 * np.abs(Yref).max()
+
+
+def test_bellpairs_windowed_kernel():
+    """Windowed BELLPairs variant (no X-in-VMEM limit) parity."""
+    import scipy.sparse as sp
+
+    from maxwell_tpu.kernels.spmm import bellpairs_matmat_pallas_windowed
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.bellpairs import BELLPairs
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    cav = PermutedProblem(BrickCavity3D(nx=8, ny=8, nz=8))
+    A = BELLPairs.from_csr(cav.K, block=8, Cp=8, dtype=jnp.float32)
+    assert A.win_start is not None
+    K32 = sp.csr_matrix(cav.K, dtype=np.float32)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((A.n_padded, 8)).astype(np.float32))
+    Y = bellpairs_matmat_pallas_windowed(A, X, interpret=True)
+    Yref = K32 @ np.asarray(X)[: cav.K.shape[0]]
+    assert (
+        np.abs(np.asarray(Y)[: cav.K.shape[0]] - Yref).max()
+        <= 1e-5 * np.abs(Yref).max()
+    )
