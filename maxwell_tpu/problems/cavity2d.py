@@ -136,8 +136,10 @@ class RectCavity2D:
 
         self.keep = keep
         self.n_edges = keep.size
-        self.K = K_full[np.ix_(keep, keep)].tocsr()
-        self.M = M_full[np.ix_(keep, keep)].tocsr()
+        # row-slice then column-slice: scipy's np.ix_ path samples the full
+        # len(keep)^2 index product (dense); chained slicing stays O(nnz)
+        self.K = K_full[keep][:, keep].tocsr()
+        self.M = M_full[keep][:, keep].tocsr()
 
         # --- discrete gradient (interior nodes only) -----------------------
         # node (i, j) id = j*(nx+1) + i ; interior: 0<i<nx, 0<j<ny

@@ -197,8 +197,11 @@ class BrickCavity3D:
             raise ValueError(f"unknown bc {self.bc!r}")
         self.keep = keep
         self.n_edges = keep.size
-        self.K = K_full[np.ix_(keep, keep)].tocsr()
-        self.M = M_full[np.ix_(keep, keep)].tocsr()
+        # row-slice then column-slice: scipy's np.ix_ path samples the full
+        # len(keep)^2 index product (dense — ~12 GB / minutes at 24^3);
+        # chained slicing stays sparse and is O(nnz)
+        self.K = K_full[keep][:, keep].tocsr()
+        self.M = M_full[keep][:, keep].tocsr()
 
         # discrete gradient over interior nodes
         def node(i, j, k):
