@@ -47,6 +47,30 @@ def build_problem(cfg):
             nz=cfg.get("nz", 8),
             bc=cfg.get("bc", "pec"),
         )
+    if kind == "tet3d":
+        # unstructured tetrahedral Nedelec on a Kuhn-triangulated brick
+        # (problems/tetmesh.py); "jiggle" perturbs interior vertices so the
+        # mesh is genuinely non-tensor-product
+        import numpy as np
+
+        from maxwell_tpu.problems.tetmesh import TetCavity, brick_tet_mesh
+
+        a, b, c = cfg.get("a", 1.0), cfg.get("b", 1.0), cfg.get("c", 1.0)
+        n = cfg.get("n", cfg.get("nx", 6))
+        jig = cfg.get("jiggle", 0.0)
+        if jig:
+            verts, tets = brick_tet_mesh(a, b, c, n, n, n)
+            rng = np.random.default_rng(cfg.get("seed", 0))
+            eps = 1e-9
+            interior = np.all(
+                (verts > eps) & (verts < np.array([a, b, c]) - eps), axis=1
+            )
+            verts = verts.copy()
+            verts[interior] += (
+                jig * (a / n) * rng.standard_normal((int(interior.sum()), 3))
+            )
+            return TetCavity(a=a, b=b, c=c, verts=verts, tets=tets)
+        return TetCavity(a=a, b=b, c=c, n=n)
     raise ValueError(f"unknown problem kind {kind!r}")
 
 
