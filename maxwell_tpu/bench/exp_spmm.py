@@ -297,7 +297,7 @@ def main():
     from maxwell_tpu.sparse.bellpairs import BELLPairs
     from maxwell_tpu.kernels.spmm import bellpairs_matmat_pallas
 
-    AP = BELLPairs.from_csr(cav.K, block=8, Cp=8, dtype=jnp.float32)
+    AP = BELLPairs.from_csr(cav.K, block=8, Cp=8, dtype=jnp.float32, B=cav.M)
     results["pairs_stored_MB"] = AP.nnz_dense * 4 / 1e6
     results["pairs_streamed_MB"] = AP.nnz_streamed * 4 / 1e6
     print(
@@ -315,6 +315,9 @@ def main():
             continue
         X = jax.random.normal(key, (A.n_padded, m), jnp.float32)
         Yref = np.asarray(bsr_matmat_ref(A, X))
+        Yref_km = (
+            np.asarray((cav.K + cav.M) @ np.asarray(X[: A.n], np.float64))
+        )
         sol = roofline(m)
         results[f"roofline_s_m{m}"] = sol
         print(f"--- m={m}  roofline={sol*1e6:.0f}us", file=sys.stderr,
@@ -332,12 +335,18 @@ def main():
         variants["v5_batched_def"] = make_v5_batched(DE, m)
         variants["v6_smem_hi"] = make_v6_smem(HI, m)
         variants["v7_pairs"] = lambda Y: bellpairs_matmat_pallas(AP, Y)
-        from maxwell_tpu.kernels.spmm import bellpairs_matmat_pallas_windowed
+        from maxwell_tpu.kernels.spmm import bellpairs_km_matmat_pallas
 
-        variants["v8_pairs_win"] = (
-            lambda Y: bellpairs_matmat_pallas_windowed(AP, Y)[: Y.shape[0]]
-        )
+        def km_fused(Y):
+            Yk, Ym = bellpairs_km_matmat_pallas(AP, Y)
+            return Yk + Ym  # keep timeit_chain shape-preserving
+
+        variants["v9_km"] = km_fused
         results[f"pairs_roofline_s_m{m}"] = pairs_roofline(m)
+        # fused roofline: both value streams + cols + X + two Y
+        results[f"km_roofline_s_m{m}"] = (
+            2 * AP.nnz_streamed * 4 + AP.cols.size * 4 + 3 * AP.n_padded * m * 4
+        ) / bw
 
         for name, fn in variants.items():
             if only_variant is not None and name not in only_variant.split(","):
@@ -349,7 +358,13 @@ def main():
                 np.asarray(Y.ravel()[:1])
                 tc = time.perf_counter() - t0
                 ok = None
-                if not name.startswith("v3") and not name.startswith("v4"):
+                if name == "v9_km":
+                    err = float(
+                        np.abs(np.asarray(Y)[: A.n] - Yref_km).max()
+                        / max(np.abs(Yref_km).max(), 1e-30)
+                    )
+                    ok = err < 1e-5
+                elif not name.startswith("v3") and not name.startswith("v4"):
                     err = float(
                         np.abs(np.asarray(Y) - Yref).max()
                         / max(np.abs(Yref).max(), 1e-30)

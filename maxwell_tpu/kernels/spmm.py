@@ -194,6 +194,19 @@ def bsr_matmat_pallas_windowed(
 # ---------------------------------------------------------------------------
 
 
+def _gather_chunk(cols_ref, x_ref, j, *, R, Cp, b):
+    """(R, Cp*2b, m) X panel for chunk j: one (2b, m) sublane slice per pair
+    slot (measured ~1.2 ns fixed + ~1 ns/vreg each — bench/exp_gather.py)."""
+    panels = []
+    for r in range(R):
+        parts = [
+            x_ref[pl.ds(cols_ref[r, j * Cp + q] * b, 2 * b), :]
+            for q in range(Cp)
+        ]
+        panels.append(jnp.concatenate(parts, axis=0))
+    return jnp.stack(panels)
+
+
 def _bellpairs_kernel(nch_ref, cols_ref, vals_ref, x_ref, o_ref, *, R, Cp, b, m):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -204,33 +217,34 @@ def _bellpairs_kernel(nch_ref, cols_ref, vals_ref, x_ref, o_ref, *, R, Cp, b, m)
 
     @pl.when(j < nch_ref[i])
     def _chunk():
-        for r in range(R):
-            parts = [
-                x_ref[pl.ds(cols_ref[r, j * Cp + q] * b, 2 * b), :]
-                for q in range(Cp)
-            ]
-            xg = jnp.concatenate(parts, axis=0)  # (Cp*2b, m)
-            o_ref[r * b:(r + 1) * b, :] += jnp.dot(
-                vals_ref[r * b:(r + 1) * b, :],
-                xg,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+        xg = _gather_chunk(cols_ref, x_ref, j, R=R, Cp=Cp, b=b)
+        acc = jnp.einsum(
+            "rik,rkm->rim",
+            vals_ref[:].reshape(R, b, Cp * 2 * b),
+            xg,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        o_ref[:] += acc.reshape(R * b, m)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bellpairs_matmat_pallas(A, X: jax.Array, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+def bellpairs_matmat_pallas(
+    A, X: jax.Array, interpret: bool = False, stream: str = "a"
+):
     """Y = A @ X for a BELLPairs matrix; X (n_padded, m) f32, held fully in
     VMEM. Grid (n_tiles, max_chunks): the chunk index map CLAMPS to the
     tile's live chunk count, so dead (padding) chunks are never refetched
     (Pallas elides repeated blocks) nor computed (pl.when). Measured design
-    rationale in sparse/bellpairs.py."""
-    from maxwell_tpu.sparse.bellpairs import BELLPairs  # noqa: F401
-
+    rationale in sparse/bellpairs.py. stream="b" applies the second value
+    stream (the mass matrix of a fused K/M build) instead."""
     n_pad, m = A.n_padded, X.shape[1]
     b, Cp = A.b, A.Cp
     R = 128 // b
     n_tiles, max_ch = A.n_tiles, A.max_ch
+    vals = A.vals2d if stream == "a" else A.vals2d_b
+    if vals is None:
+        raise ValueError(f"value stream {stream!r} not present")
     # one extra zero block row: pair slices read (2b, m) and a clamped
     # singleton in the last block-col would otherwise run off the end
     Xp = jnp.pad(X, ((0, b), (0, 0)))
@@ -238,8 +252,6 @@ def bellpairs_matmat_pallas(A, X: jax.Array, interpret: bool = False):
         X.dtype != jnp.float32
         or Xp.shape[0] * m * 4 > _VMEM_X_BUDGET
     ):
-        from maxwell_tpu.sparse.bellpairs import BELLPairs as _BP
-
         raise ValueError("bellpairs kernel needs f32 X within VMEM budget")
 
     kernel = functools.partial(_bellpairs_kernel, R=R, Cp=Cp, b=b, m=m)
@@ -271,7 +283,123 @@ def bellpairs_matmat_pallas(A, X: jax.Array, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
         interpret=interpret,
-    )(A.nch, A.cols, A.vals2d, Xp)
+    )(A.nch, A.cols, vals, Xp)
+
+
+def _bellpairs_km_kernel(
+    nch_ref, cols_ref, vk_ref, vm_ref, x_ref, ok_ref, om_ref, *, R, Cp, b, m
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        ok_ref[:] = jnp.zeros_like(ok_ref)
+        om_ref[:] = jnp.zeros_like(om_ref)
+
+    @pl.when(j < nch_ref[i])
+    def _chunk():
+        xg = _gather_chunk(cols_ref, x_ref, j, R=R, Cp=Cp, b=b)
+        for vref, oref in ((vk_ref, ok_ref), (vm_ref, om_ref)):
+            acc = jnp.einsum(
+                "rik,rkm->rim",
+                vref[:].reshape(R, b, Cp * 2 * b),
+                xg,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            oref[:] += acc.reshape(R * b, m)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bellpairs_km_matmat_pallas(A, X: jax.Array, interpret: bool = False):
+    """(K @ X, M @ X) in ONE kernel for a BELLPairs matrix carrying both
+    value streams (vals2d = K, vals2d_b = M on the union pattern).
+
+    The X gather is the measured bottleneck of every blocked-ELL kernel on
+    this chip (exp_gather.py: ~1 ns/vreg sublane-slice floor, lane width
+    free) — fusing the two applies halves the per-matrix gather cost, the
+    dominant term of the solver hot loop (SURVEY.md §3.3: LOBPCG needs
+    K@X and M@X of the same block every iteration)."""
+    if A.vals2d_b is None:
+        raise ValueError("BELLPairs built without the second value stream")
+    n_pad, m = A.n_padded, X.shape[1]
+    b, Cp = A.b, A.Cp
+    R = 128 // b
+    n_tiles, max_ch = A.n_tiles, A.max_ch
+    Xp = jnp.pad(X, ((0, b), (0, 0)))
+    if X.dtype != jnp.float32 or Xp.shape[0] * m * 4 > _VMEM_X_BUDGET:
+        raise ValueError("bellpairs km kernel needs f32 X within VMEM budget")
+
+    kernel = functools.partial(_bellpairs_km_kernel, R=R, Cp=Cp, b=b, m=m)
+    val_spec = pl.BlockSpec(
+        (R * b, Cp * 2 * b),
+        lambda i, j, nch: (i, jnp.minimum(j, nch[i] - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, max_ch),
+        in_specs=[
+            pl.BlockSpec(
+                (R, max_ch * Cp),
+                lambda i, j, nch: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            val_spec,
+            val_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (R * b, m), lambda i, j, nch: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (R * b, m), lambda i, j, nch: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        ),
+        interpret=interpret,
+    )(A.nch, A.cols, A.vals2d, A.vals2d_b, Xp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+def bellpairs_matmat_banded(
+    AB, X: jax.Array, interpret: bool = False, stream: str = "a"
+):
+    """Y = A @ X for a BandedBELLPairs — X of ANY size: each band's kernel
+    sees only its contiguous X window (fits VMEM by construction), so the
+    only extra HBM traffic is the inter-band window overlap."""
+    maxw = max(AB.col_rows)
+    Xp = jnp.pad(X, ((0, maxw), (0, 0)))
+    outs = []
+    for bp, cs, rows in zip(AB.bands, AB.col_starts, AB.col_rows):
+        xw = jax.lax.slice(Xp, (cs, 0), (cs + rows, X.shape[1]))
+        outs.append(
+            bellpairs_matmat_pallas(bp, xw, interpret=interpret, stream=stream)
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bellpairs_km_matmat_banded(AB, X: jax.Array, interpret: bool = False):
+    """(K @ X, M @ X) for a BandedBELLPairs carrying both value streams."""
+    maxw = max(AB.col_rows)
+    Xp = jnp.pad(X, ((0, maxw), (0, 0)))
+    ok, om = [], []
+    for bp, cs, rows in zip(AB.bands, AB.col_starts, AB.col_rows):
+        xw = jax.lax.slice(Xp, (cs, 0), (cs + rows, X.shape[1]))
+        yk, ym = bellpairs_km_matmat_pallas(bp, xw, interpret=interpret)
+        ok.append(yk)
+        om.append(ym)
+    return jnp.concatenate(ok, axis=0), jnp.concatenate(om, axis=0)
 
 
 def _bellpairs_windowed_kernel(

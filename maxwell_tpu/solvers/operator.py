@@ -52,9 +52,15 @@ class Pencil:
     # problems; round-1 VERDICT item 4): replaces the projector's ~100-CG
     # inner loop with six dense 1D transforms on the MXU
     fastproj: "object | None" = None
+    # kernel="bellpairs": K holds a fused BELLPairs (vals2d = K values,
+    # vals2d_b = M values on the union pattern) and Kbanded its row-band
+    # split for X beyond the VMEM budget; M stays None. The fused layout
+    # makes KM_mm gather X ONCE per slot — the measured bottleneck of every
+    # blocked-ELL kernel on this chip (kernels/spmm.py).
+    Kbanded: "object | None" = None
 
     def tree_flatten(self):
-        return (self.K, self.M, self.proj, self.fastproj), (
+        return (self.K, self.M, self.proj, self.fastproj, self.Kbanded), (
             self.kernel,
             self.mass_tol,
             self.mass_iters,
@@ -62,9 +68,9 @@ class Pencil:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        K, M, proj, fastproj = children
+        K, M, proj, fastproj, Kbanded = children
         return cls(
-            K=K, M=M, proj=proj, fastproj=fastproj,
+            K=K, M=M, proj=proj, fastproj=fastproj, Kbanded=Kbanded,
             kernel=aux[0], mass_tol=aux[1], mass_iters=aux[2],
         )
 
@@ -79,6 +85,8 @@ class Pencil:
 
     @property
     def dtype(self):
+        if self.kernel == "bellpairs":
+            return self.K.vals2d.dtype
         return self.K.blocks.dtype
 
     # --- reductions (overridden with psum variants by DistPencil) ---------
@@ -110,13 +118,40 @@ class Pencil:
         return jnp.sqrt(jnp.maximum(self.dot_cols(A, A), 0.0))
 
     # --- applies (padded in, padded out) ----------------------------------
+    def _bell_fits_vmem(self, m: int) -> bool:
+        from maxwell_tpu.kernels.spmm import _VMEM_X_BUDGET
+
+        return (self.n_padded + self.K.b) * m * 4 <= _VMEM_X_BUDGET
+
+    def _bell_mm(self, X: jax.Array, stream: str) -> jax.Array:
+        from maxwell_tpu.kernels.spmm import (
+            bellpairs_matmat_banded,
+            bellpairs_matmat_pallas,
+        )
+
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        if self._bell_fits_vmem(Xl.shape[1]):
+            Y = bellpairs_matmat_pallas(self.K, Xl, stream=stream)
+        elif self.Kbanded is not None:
+            Y = bellpairs_matmat_banded(self.Kbanded, Xl, stream=stream)
+        else:
+            raise ValueError(
+                "X exceeds the VMEM budget and no banded split was built"
+            )
+        return Y[:, 0] if vec else Y
+
     def K_mm(self, X: jax.Array) -> jax.Array:
+        if self.kernel == "bellpairs":
+            return self._bell_mm(X, "a")
         mm = _dispatch_matmat(self.kernel)
         vec = X.ndim == 1
         Y = mm(self.K, X[:, None] if vec else X)
         return Y[:, 0] if vec else Y
 
     def M_mm(self, X: jax.Array) -> jax.Array:
+        if self.kernel == "bellpairs":
+            return self._bell_mm(X, "b")
         if self.M is None:
             return X
         mm = _dispatch_matmat(self.kernel)
@@ -125,7 +160,28 @@ class Pencil:
         return Y[:, 0] if vec else Y
 
     def KM_mm(self, X: jax.Array):
-        """(K @ X, M @ X); DistPencil overrides with collective fencing."""
+        """(K @ X, M @ X); DistPencil overrides with collective fencing.
+
+        kernel="bellpairs": ONE fused kernel — X gathered once per slot,
+        contracted against both value streams (the solver hot loop's
+        dominant cost halves; SURVEY.md §3.3)."""
+        if self.kernel == "bellpairs":
+            from maxwell_tpu.kernels.spmm import (
+                bellpairs_km_matmat_banded,
+                bellpairs_km_matmat_pallas,
+            )
+
+            vec = X.ndim == 1
+            Xl = X[:, None] if vec else X
+            if self._bell_fits_vmem(Xl.shape[1]):
+                Yk, Ym = bellpairs_km_matmat_pallas(self.K, Xl)
+            elif self.Kbanded is not None:
+                Yk, Ym = bellpairs_km_matmat_banded(self.Kbanded, Xl)
+            else:
+                raise ValueError(
+                    "X exceeds the VMEM budget and no banded split was built"
+                )
+            return (Yk[:, 0], Ym[:, 0]) if vec else (Yk, Ym)
         return self.K_mm(X), self.M_mm(X)
 
     def Minv_mm(self, X: jax.Array) -> jax.Array:
@@ -169,14 +225,28 @@ class Pencil:
         b=8 tiles.
         """
         if block is None:
-            block = 8 if kernel == "pallas" else 4
-        align = None if kernel == "pallas" else 4
-        K = BSRMatrix.from_csr(
-            problem.K, block=block, align_slots=align, dtype=dtype
-        )
-        M = BSRMatrix.from_csr(
-            problem.M, block=block, align_slots=align, dtype=dtype
-        )
+            block = 8 if kernel in ("pallas", "bellpairs") else 4
+        Kbanded = None
+        if kernel == "bellpairs":
+            from maxwell_tpu.kernels.spmm import _VMEM_X_BUDGET
+            from maxwell_tpu.sparse.bellpairs import BELLPairs
+
+            K = BELLPairs.from_csr(
+                problem.K, block=block, dtype=dtype, B=problem.M
+            )
+            M = None
+            # band split for multivectors up to m=32 when full X would
+            # overflow VMEM (duplicates value storage; only built if needed)
+            if (K.n_padded + block) * 32 * 4 > _VMEM_X_BUDGET:
+                Kbanded = K.banded(m=32, budget_bytes=10 * 1024 * 1024)
+        else:
+            align = None if kernel == "pallas" else 4
+            K = BSRMatrix.from_csr(
+                problem.K, block=block, align_slots=align, dtype=dtype
+            )
+            M = BSRMatrix.from_csr(
+                problem.M, block=block, align_slots=align, dtype=dtype
+            )
         proj = GradientProjector.from_gradient(problem.G, K.n_padded, dtype=dtype)
         # exact tensor-product projector solve for vacuum PEC bricks — the
         # base problem's interior-node order (i-major, k-fastest, matching
@@ -197,4 +267,7 @@ class Pencil:
                 base.a, base.b, base.c, base.nx, base.ny, base.nz,
                 dtype=dtype,
             )
-        return Pencil(K=K, M=M, proj=proj, kernel=kernel, fastproj=fastproj)
+        return Pencil(
+            K=K, M=M, proj=proj, kernel=kernel, fastproj=fastproj,
+            Kbanded=Kbanded,
+        )

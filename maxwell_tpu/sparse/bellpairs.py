@@ -38,6 +38,32 @@ def _round_up(x: int, m: int) -> int:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class BandedBELLPairs:
+    """Row-band split of a BELLPairs matrix for X beyond the VMEM budget:
+    each band is a standalone BELLPairs with window-rebased columns plus
+    the contiguous X slice it consumes. See BELLPairs.banded()."""
+
+    bands: tuple
+    col_starts: tuple[int, ...]
+    col_rows: tuple[int, ...]
+    n: int
+    b: int
+
+    def tree_flatten(self):
+        return (self.bands,), (self.col_starts, self.col_rows, self.n, self.b)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(bands=tuple(children[0]), col_starts=aux[0],
+                   col_rows=aux[1], n=aux[2], b=aux[3])
+
+    @property
+    def n_padded(self) -> int:
+        return sum(bp.n_padded for bp in self.bands)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class BELLPairs:
     """Paired chunked blocked-ELL matrix.
 
@@ -51,9 +77,17 @@ class BELLPairs:
     vals2d: jax.Array
     cols: jax.Array
     nch: jax.Array
+    # live pair-slot count per block-row (host metadata for window/band
+    # computation; padding slots beyond it hold col 0 / zero values)
+    npairs: jax.Array | None
     n: int
     b: int = 8
     Cp: int = 8
+    # second value stream sharing the SAME pair/chunk structure — holds the
+    # mass matrix M so the solver's KM_mm gathers X once and contracts twice
+    # (K and M come from the same mesh connectivity, so one union pattern
+    # serves both; see kernels/spmm.py bellpairs_km_matmat_pallas)
+    vals2d_b: jax.Array | None = None
     # windowed-kernel metadata (X too big for VMEM): per-tile aligned X
     # window start (in win_unit block-row units) and window-relative pair
     # columns — same scheme as BSRMatrix windows
@@ -63,16 +97,17 @@ class BELLPairs:
 
     def tree_flatten(self):
         return (
-            self.vals2d, self.cols, self.nch, self.win_start, self.cols_rel,
+            self.vals2d, self.cols, self.nch, self.npairs, self.vals2d_b,
+            self.win_start, self.cols_rel,
         ), (self.n, self.b, self.Cp, self.win_unit)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        vals2d, cols, nch, win_start, cols_rel = children
+        vals2d, cols, nch, npairs, vals2d_b, win_start, cols_rel = children
         return cls(
-            vals2d=vals2d, cols=cols, nch=nch, n=aux[0], b=aux[1],
-            Cp=aux[2], win_start=win_start, cols_rel=cols_rel,
-            win_unit=aux[3],
+            vals2d=vals2d, cols=cols, nch=nch, npairs=npairs, n=aux[0],
+            b=aux[1], Cp=aux[2], vals2d_b=vals2d_b, win_start=win_start,
+            cols_rel=cols_rel, win_unit=aux[3],
         )
 
     @property
@@ -106,17 +141,52 @@ class BELLPairs:
     # ------------------------------------------------------------------
     @staticmethod
     def from_csr(
-        A: sp.spmatrix, block: int = 8, Cp: int = 8, dtype=jnp.float32
+        A: sp.spmatrix,
+        block: int = 8,
+        Cp: int = 8,
+        dtype=jnp.float32,
+        B: sp.spmatrix | None = None,
     ) -> "BELLPairs":
+        """Build from CSR. With B given (e.g. the mass matrix), both value
+        streams share ONE union sparsity structure so the fused kernel
+        gathers X once per slot and contracts against both."""
         b = block
         R = 128 // b
         A = sp.csr_matrix(A)
         n = A.shape[0]
         n_pad = _round_up(max(n, 1), b * R)
-        A_pad = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
-        A_pad.resize((n_pad, n_pad))
-        Ab = A_pad.tobsr(blocksize=(b, b))
-        Ab.sort_indices()
+
+        def _pad_bsr(C):
+            Cp_ = sp.csr_matrix((C.data, C.indices, C.indptr), shape=C.shape)
+            Cp_.resize((n_pad, n_pad))
+            Cb = Cp_.tobsr(blocksize=(b, b))
+            Cb.sort_indices()
+            return Cb
+
+        if B is not None:
+            B = sp.csr_matrix(B)
+            # sample both matrices at the UNION pattern's coordinates so
+            # the two CSRs (and hence BSR conversions) share identical
+            # (indptr, indices) — scipy's `+` may cancel/prune entries
+            U = ((A != 0) + (B != 0)).tocsr()
+            U.sort_indices()
+            Uc = U.tocoo()
+
+            def _sample(C):
+                return np.asarray(C[Uc.row, Uc.col]).ravel()
+
+            Au = sp.csr_matrix(
+                (_sample(A), U.indices.copy(), U.indptr.copy()), shape=A.shape
+            )
+            Bu = sp.csr_matrix(
+                (_sample(B), U.indices.copy(), U.indptr.copy()), shape=A.shape
+            )
+            Ab, Bb = _pad_bsr(Au), _pad_bsr(Bu)
+            assert np.array_equal(Ab.indices, Bb.indices)
+            data_b = Bb.data
+        else:
+            Ab = _pad_bsr(A)
+            data_b = None
         indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
         nbr = n_pad // b
         n_tiles = nbr // R
@@ -149,22 +219,33 @@ class BELLPairs:
 
         np_dt = np.dtype(jnp.zeros((), dtype).dtype)
         vals = np.zeros((nbr, Q, b, 2 * b), dtype=np_dt)
+        vals_b = None if data_b is None else np.zeros_like(vals)
         cols = np.zeros((nbr, Q), dtype=np.int32)
+        streams = [(vals, data)] + (
+            [] if vals_b is None else [(vals_b, data_b)]
+        )
         for r in range(nbr):
             for q, (c, kl, kr) in enumerate(pair_starts[r]):
                 # clamp so the (2b, m) X slice stays in bounds for a
                 # singleton in the LAST block column
                 if c + 1 >= nbr and kr < 0:
                     cols[r, q] = c - 1
-                    vals[r, q, :, b:] = data[kl]
+                    for v, d in streams:
+                        v[r, q, :, b:] = d[kl]
                 else:
                     cols[r, q] = c
-                    vals[r, q, :, :b] = data[kl]
-                    if kr >= 0:
-                        vals[r, q, :, b:] = data[kr]
-        vals2d = np.ascontiguousarray(
-            vals.transpose(0, 2, 1, 3).reshape(nbr * b, Q * 2 * b)
-        )
+                    for v, d in streams:
+                        v[r, q, :, :b] = d[kl]
+                        if kr >= 0:
+                            v[r, q, :, b:] = d[kr]
+
+        def _to2d(v):
+            return np.ascontiguousarray(
+                v.transpose(0, 2, 1, 3).reshape(nbr * b, Q * 2 * b)
+            )
+
+        vals2d = _to2d(vals)
+        vals2d_b = None if vals_b is None else _to2d(vals_b)
 
         # per-tile aligned X-window metadata (live slots only; +1 covers
         # the pair's second block column)
@@ -184,14 +265,88 @@ class BELLPairs:
         rel = np.where(live, rel, 0).astype(np.int32)
         ok = rel.min() >= 0 and not (rel[live] + 1 >= 2 * W_u).any()
 
+        npairs = np.array([len(s) for s in pair_starts], dtype=np.int32)
         return BELLPairs(
             vals2d=jnp.asarray(vals2d),
             cols=jnp.asarray(cols),
             nch=jnp.asarray(nch),
+            npairs=jnp.asarray(npairs),
             n=n, b=b, Cp=Cp,
+            vals2d_b=None if vals2d_b is None else jnp.asarray(vals2d_b),
             win_start=jnp.asarray(ws) if ok else None,
             cols_rel=jnp.asarray(rel) if ok else None,
             win_unit=W_u if ok else 0,
+        )
+
+    # ------------------------------------------------------------------
+    def banded(self, m: int, budget_bytes: int = 10 * 1024 * 1024):
+        """Split into row bands whose X windows fit the VMEM budget at
+        block width m — the VMEM-unbounded execution plan (round-1 VERDICT
+        item 2). Consecutive tiles under a bandwidth-reducing ordering have
+        monotone, overlapping column windows, so each band consumes one
+        CONTIGUOUS X slice; total X traffic is n + inter-band overlap
+        (vs. the per-tile window refetch of a windowed kernel, which
+        re-reads X ~span/tile-step times)."""
+        b, R, Cp = self.b, 128 // self.b, self.Cp
+        nbr, Q = self.cols.shape
+        n_tiles = self.n_tiles
+        cols = np.asarray(self.cols)
+        nch = np.asarray(self.nch)
+        vals = np.asarray(self.vals2d)
+        vals_b = None if self.vals2d_b is None else np.asarray(self.vals2d_b)
+
+        # padding slots hold col 0 / zero values — mask them out of the
+        # window computation (they are harmless wherever they point after
+        # clamping, but would pin every window's min to 0)
+        live = (
+            np.arange(Q)[None, :]
+            < np.asarray(self.npairs)[:, None]
+        )
+        big = np.where(live, cols, np.iinfo(np.int32).max)
+        small = np.where(live, cols, -1)
+        cmin_t = np.minimum(
+            big.reshape(n_tiles, R * Q).min(axis=1), nbr - 1
+        )
+        cmax_t = small.reshape(n_tiles, R * Q).max(axis=1) + 2  # pair spill
+        max_rows = budget_bytes // (4 * m)
+
+        bands = []
+        t0 = 0
+        while t0 < n_tiles:
+            t1 = t0 + 1
+            c0, c1 = cmin_t[t0], cmax_t[t0]
+            while t1 < n_tiles:
+                nc0, nc1 = min(c0, cmin_t[t1]), max(c1, cmax_t[t1])
+                if (nc1 - nc0 + 1) * b > max_rows:
+                    break
+                c0, c1, t1 = nc0, nc1, t1 + 1
+            if (c1 - c0 + 1) * b > max_rows:
+                raise ValueError(
+                    f"single tile window exceeds X budget ({m=}): reorder "
+                    "the matrix (RCM) or raise budget_bytes"
+                )
+            r0, r1 = t0 * R, t1 * R
+            sub_cols = np.maximum(cols[r0:r1] - c0, 0).astype(np.int32)
+            sub = BELLPairs(
+                vals2d=jnp.asarray(vals[r0 * b : r1 * b]),
+                cols=jnp.asarray(sub_cols),
+                nch=jnp.asarray(nch[t0:t1]),
+                npairs=self.npairs[r0:r1],
+                n=(r1 - r0) * b,
+                b=b,
+                Cp=Cp,
+                vals2d_b=None
+                if vals_b is None
+                else jnp.asarray(vals_b[r0 * b : r1 * b]),
+            )
+            bands.append((sub, int(c0) * b, int(c1 - c0 + 1) * b))
+            t0 = t1
+        return BandedBELLPairs(
+            bands=tuple(x[0] for x in bands),
+            col_starts=tuple(x[1] for x in bands),
+            col_rows=tuple(x[2] for x in bands),
+            n=self.n,
+            b=b,
         )
 
     def to_csr(self) -> sp.csr_matrix:

@@ -118,3 +118,64 @@ def test_bellpairs_windowed_kernel():
         np.abs(np.asarray(Y)[: cav.K.shape[0]] - Yref).max()
         <= 1e-5 * np.abs(Yref).max()
     )
+
+
+def test_bellpairs_km_fused_and_banded():
+    """Fused K/M apply (one union structure, two value streams) and the
+    row-band split for X beyond the VMEM budget — both vs scipy (round-2
+    production path; kernels/spmm.py bellpairs_km_matmat_pallas)."""
+    import scipy.sparse as sp
+
+    from maxwell_tpu.kernels.spmm import (
+        bellpairs_km_matmat_banded,
+        bellpairs_km_matmat_pallas,
+        bellpairs_matmat_banded,
+    )
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.bellpairs import BELLPairs
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    cav = PermutedProblem(BrickCavity3D(nx=6, ny=6, nz=6))
+    A = BELLPairs.from_csr(cav.K, block=8, Cp=8, dtype=jnp.float32, B=cav.M)
+    n = cav.K.shape[0]
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((A.n_padded, 8)).astype(np.float32))
+    Xn = np.asarray(X)[:n]
+    refK = sp.csr_matrix(cav.K, dtype=np.float64) @ Xn
+    refM = sp.csr_matrix(cav.M, dtype=np.float64) @ Xn
+
+    Yk, Ym = bellpairs_km_matmat_pallas(A, X, interpret=True)
+    assert np.abs(np.asarray(Yk)[:n] - refK).max() <= 1e-5 * np.abs(refK).max()
+    assert np.abs(np.asarray(Ym)[:n] - refM).max() <= 1e-5 * np.abs(refM).max()
+
+    # band split small enough to force several bands
+    AB = A.banded(m=8, budget_bytes=12 * 1024)
+    assert len(AB.bands) >= 2
+    Yb = bellpairs_matmat_banded(AB, X, interpret=True)
+    assert np.abs(np.asarray(Yb)[:n] - refK).max() <= 1e-5 * np.abs(refK).max()
+    Yk2, Ym2 = bellpairs_km_matmat_banded(AB, X, interpret=True)
+    assert np.abs(np.asarray(Ym2)[:n] - refM).max() <= 1e-5 * np.abs(refM).max()
+
+
+def test_pencil_bellpairs_kernel_dispatch():
+    """Pencil(kernel="bellpairs"): K_mm/M_mm/KM_mm parity vs the ref pencil
+    (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.solvers.operator import Pencil
+
+    cav = BrickCavity3D(nx=5, ny=5, nz=5)
+    pen = Pencil.from_problem(cav, kernel="bellpairs", dtype=jnp.float32)
+    ref = Pencil.from_problem(cav, kernel="ref", dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (pen.n_padded, 8), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Yk, Ym = pen.KM_mm(X)
+    n = pen.n
+    rk = ref.K_mm(X[: ref.n_padded])[:n]
+    rm = ref.M_mm(X[: ref.n_padded])[:n]
+    np.testing.assert_allclose(np.asarray(Yk[:n]), np.asarray(rk),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ym[:n]), np.asarray(rm),
+                               rtol=2e-5, atol=2e-5)
