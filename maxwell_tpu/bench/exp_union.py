@@ -77,8 +77,9 @@ def main():
 
     def mk_u0(prec):
         def kernel(cols_ref, vals_ref, x_ref, o_ref):
+            r8 = pl.program_id(0) % 8
             parts = [
-                x_ref[pl.ds(cols_ref[q] * b, b), :] for q in range(UC)
+                x_ref[pl.ds(cols_ref[r8, q] * b, b), :] for q in range(UC)
             ]
             xg = jnp.concatenate(parts, axis=0)  # (K, m)
             o_ref[:] = jnp.dot(
@@ -91,7 +92,7 @@ def main():
             y = pl.pallas_call(
                 kernel, grid=(T,),
                 in_specs=[
-                    pl.BlockSpec((1, UC), lambda i: (i, 0),
+                    pl.BlockSpec((8, UC), lambda i: (i // 8, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((128, K), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
@@ -105,8 +106,9 @@ def main():
 
     def mk_u1(prec):
         def kernel(cols_ref, vals_ref, x_ref, o_ref):
+            r8 = pl.program_id(0) % 8
             parts = [
-                x_ref[pl.ds(cols_ref[q] * b, 8 * b), :]
+                x_ref[pl.ds(cols_ref[r8, q] * b, 8 * b), :]
                 for q in range(UC // 8)
             ]
             xg = jnp.concatenate(parts, axis=0)
@@ -120,7 +122,7 @@ def main():
             y = pl.pallas_call(
                 kernel, grid=(T,),
                 in_specs=[
-                    pl.BlockSpec((1, UC // 8), lambda i: (i, 0),
+                    pl.BlockSpec((8, UC // 8), lambda i: (i // 8, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((128, K), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
@@ -134,8 +136,9 @@ def main():
 
     def mk_km(prec):
         def kernel(cols_ref, vk_ref, vm_ref, x_ref, ok_ref, om_ref):
+            r8 = pl.program_id(0) % 8
             parts = [
-                x_ref[pl.ds(cols_ref[q] * b, 8 * b), :]
+                x_ref[pl.ds(cols_ref[r8, q] * b, 8 * b), :]
                 for q in range(UC // 8)
             ]
             xg = jnp.concatenate(parts, axis=0)
@@ -151,7 +154,7 @@ def main():
             yk, ym = pl.pallas_call(
                 kernel, grid=(T,),
                 in_specs=[
-                    pl.BlockSpec((1, UC // 8), lambda i: (i, 0),
+                    pl.BlockSpec((8, UC // 8), lambda i: (i // 8, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((128, K), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),

@@ -190,7 +190,108 @@ def bsr_matmat_pallas_windowed(
 
 
 # ---------------------------------------------------------------------------
-# Paired chunked blocked-ELL kernel (round-2 production; sparse/bellpairs.py)
+# Tile-union chunked kernel (round-2 PRODUCTION; sparse/bellunion.py).
+# One well-shaped (128, 128)@(128, m) HIGHEST dot per chunk — measured at
+# 70% of the HBM roofline on the chip (bench/exp_union.py u0_hi), vs <20%
+# for every per-block-row einsum formulation (exp_grid.py e5).
+# ---------------------------------------------------------------------------
+
+
+def _bellunion_kernel(
+    tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref, *, b, m
+):
+    k = pl.program_id(0)
+    k8 = k % 8
+    CG = 128 // b
+    parts = [
+        x_ref[pl.ds(ucols_ref[k8, g] * b, b), :] for g in range(CG)
+    ]
+    xg = jnp.concatenate(parts, axis=0)  # (128, m)
+    d = jnp.dot(
+        vals_ref[:],
+        xg,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(first_ref[k] == 1)
+    def _set():
+        o_ref[:] = d
+
+    @pl.when(first_ref[k] == 0)
+    def _acc():
+        o_ref[:] += d
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+def bellunion_matmat_pallas(
+    A, X: jax.Array, interpret: bool = False, stream: str = "a"
+):
+    """Y = A @ X for a BELLUnion matrix; X (n_padded, m) f32 resident in
+    VMEM. Grid over the ragged flat chunk list: stored bytes == streamed
+    bytes (no dead chunks), one MXU-shaped dot per chunk, outputs revisited
+    consecutively per tile so Pallas holds them in VMEM until the tile
+    changes. stream="b" applies the second value stream."""
+    n_pad, m = A.n_padded, X.shape[1]
+    b = A.b
+    vals = A.vals if stream == "a" else A.vals_b
+    if vals is None:
+        raise ValueError(f"value stream {stream!r} not present")
+    if X.dtype != jnp.float32 or X.shape[0] * m * 4 > _VMEM_X_BUDGET:
+        raise ValueError("bellunion kernel needs f32 X within VMEM budget")
+    Xp = X
+    if X.shape[0] < n_pad:
+        Xp = jnp.pad(X, ((0, n_pad - X.shape[0]), (0, 0)))
+
+    kernel = functools.partial(_bellunion_kernel, b=b, m=m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_of, first
+        grid=(A.n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 128 // b),
+                lambda k, tof, fst: (k // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (128, 128), lambda k, tof, fst: (k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full X resident
+        ],
+        out_specs=pl.BlockSpec(
+            (128, m), lambda k, tof, fst: (tof[k], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(A.tile_of, A.first, A.ucols, vals, Xp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+def bellunion_matmat_banded(
+    AB, X: jax.Array, interpret: bool = False, stream: str = "a"
+):
+    """Y = A @ X for a BandedBELLUnion — X of ANY size (each band's kernel
+    sees only its contiguous X window)."""
+    maxw = max(AB.col_rows)
+    Xp = jnp.pad(X, ((0, maxw), (0, 0)))
+    outs = []
+    for bp, cs, rows in zip(AB.bands, AB.col_starts, AB.col_rows):
+        xw = jax.lax.slice(Xp, (cs, 0), (cs + rows, X.shape[1]))
+        outs.append(
+            bellunion_matmat_pallas(bp, xw, interpret=interpret, stream=stream)
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Paired chunked blocked-ELL kernel (superseded by BELLUnion above;
+# sparse/bellpairs.py)
 # ---------------------------------------------------------------------------
 
 

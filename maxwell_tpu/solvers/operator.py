@@ -52,11 +52,13 @@ class Pencil:
     # problems; round-1 VERDICT item 4): replaces the projector's ~100-CG
     # inner loop with six dense 1D transforms on the MXU
     fastproj: "object | None" = None
-    # kernel="bellpairs": K holds a fused BELLPairs (vals2d = K values,
-    # vals2d_b = M values on the union pattern) and Kbanded its row-band
-    # split for X beyond the VMEM budget; M stays None. The fused layout
-    # makes KM_mm gather X ONCE per slot — the measured bottleneck of every
-    # blocked-ELL kernel on this chip (kernels/spmm.py).
+    # kernel="union" (production TPU path): K holds a BELLUnion carrying
+    # BOTH value streams (vals = K, vals_b = M on the union pattern) and
+    # Kbanded its row-band split for X beyond the VMEM budget; M stays
+    # None. Measured at ~70% of the HBM roofline on the chip vs <20% for
+    # per-block-row formulations (kernels/spmm.py, bench/exp_union.py).
+    # kernel="bellpairs" keeps the superseded paired-chunk layout wired
+    # for comparison.
     Kbanded: "object | None" = None
 
     def tree_flatten(self):
@@ -85,6 +87,8 @@ class Pencil:
 
     @property
     def dtype(self):
+        if self.kernel == "union":
+            return self.K.vals.dtype
         if self.kernel == "bellpairs":
             return self.K.vals2d.dtype
         return self.K.blocks.dtype
@@ -124,17 +128,23 @@ class Pencil:
         return (self.n_padded + self.K.b) * m * 4 <= _VMEM_X_BUDGET
 
     def _bell_mm(self, X: jax.Array, stream: str) -> jax.Array:
-        from maxwell_tpu.kernels.spmm import (
-            bellpairs_matmat_banded,
-            bellpairs_matmat_pallas,
-        )
+        if self.kernel == "union":
+            from maxwell_tpu.kernels.spmm import (
+                bellunion_matmat_banded as banded,
+                bellunion_matmat_pallas as full,
+            )
+        else:
+            from maxwell_tpu.kernels.spmm import (
+                bellpairs_matmat_banded as banded,
+                bellpairs_matmat_pallas as full,
+            )
 
         vec = X.ndim == 1
         Xl = X[:, None] if vec else X
         if self._bell_fits_vmem(Xl.shape[1]):
-            Y = bellpairs_matmat_pallas(self.K, Xl, stream=stream)
+            Y = full(self.K, Xl, stream=stream)
         elif self.Kbanded is not None:
-            Y = bellpairs_matmat_banded(self.Kbanded, Xl, stream=stream)
+            Y = banded(self.Kbanded, Xl, stream=stream)
         else:
             raise ValueError(
                 "X exceeds the VMEM budget and no banded split was built"
@@ -142,7 +152,7 @@ class Pencil:
         return Y[:, 0] if vec else Y
 
     def K_mm(self, X: jax.Array) -> jax.Array:
-        if self.kernel == "bellpairs":
+        if self.kernel in ("bellpairs", "union"):
             return self._bell_mm(X, "a")
         mm = _dispatch_matmat(self.kernel)
         vec = X.ndim == 1
@@ -150,7 +160,7 @@ class Pencil:
         return Y[:, 0] if vec else Y
 
     def M_mm(self, X: jax.Array) -> jax.Array:
-        if self.kernel == "bellpairs":
+        if self.kernel in ("bellpairs", "union"):
             return self._bell_mm(X, "b")
         if self.M is None:
             return X
@@ -163,8 +173,9 @@ class Pencil:
         """(K @ X, M @ X); DistPencil overrides with collective fencing.
 
         kernel="bellpairs": ONE fused kernel — X gathered once per slot,
-        contracted against both value streams (the solver hot loop's
-        dominant cost halves; SURVEY.md §3.3)."""
+        contracted against both value streams. kernel="union" issues two
+        well-shaped applies (the gather is ~2% of the union kernel's cost,
+        so fusion buys nothing there — bench/exp_union.py)."""
         if self.kernel == "bellpairs":
             from maxwell_tpu.kernels.spmm import (
                 bellpairs_km_matmat_banded,
@@ -225,13 +236,17 @@ class Pencil:
         b=8 tiles.
         """
         if block is None:
-            block = 8 if kernel in ("pallas", "bellpairs") else 4
+            block = 8 if kernel in ("pallas", "bellpairs", "union") else 4
         Kbanded = None
-        if kernel == "bellpairs":
+        if kernel in ("bellpairs", "union"):
             from maxwell_tpu.kernels.spmm import _VMEM_X_BUDGET
-            from maxwell_tpu.sparse.bellpairs import BELLPairs
 
-            K = BELLPairs.from_csr(
+            if kernel == "union":
+                from maxwell_tpu.sparse.bellunion import BELLUnion as _Layout
+            else:
+                from maxwell_tpu.sparse.bellpairs import BELLPairs as _Layout
+
+            K = _Layout.from_csr(
                 problem.K, block=block, dtype=dtype, B=problem.M
             )
             M = None

@@ -191,53 +191,54 @@ class BELLPairs:
         nbr = n_pad // b
         n_tiles = nbr // R
 
-        # greedy pairing of sorted block-cols per row
-        pair_starts = []   # per row: list of (start_col, i_left, i_right)
-        maxP = 0
-        for r in range(nbr):
-            lo, hi = indptr[r], indptr[r + 1]
-            cols_r = indices[lo:hi]
-            slots = []
-            k = lo
-            while k < hi:
-                c = cols_r[k - lo]
-                if k + 1 < hi and cols_r[k + 1 - lo] == c + 1:
-                    slots.append((c, k, k + 1))
-                    k += 2
-                else:
-                    slots.append((c, k, -1))
-                    k += 1
-            pair_starts.append(slots)
-            maxP = max(maxP, len(slots))
+        # greedy pairing of sorted block-cols per row, fully vectorized:
+        # within each run of consecutive block-cols, greedy-from-left pair
+        # starts sit at EVEN offsets into the run (row boundaries force
+        # run breaks)
+        L = indices.size
+        row_of = np.repeat(np.arange(nbr), np.diff(indptr))
+        brk = np.ones(L, dtype=bool)
+        if L > 1:
+            brk[1:] = (indices[1:] != indices[:-1] + 1) | (
+                row_of[1:] != row_of[:-1]
+            )
+        run_first_idx = np.nonzero(brk)[0]
+        run_id = np.cumsum(brk) - 1
+        off = np.arange(L) - run_first_idx[run_id]
+        is_start = (off % 2) == 0
+        has_next = np.zeros(L, dtype=bool)
+        if L > 1:
+            has_next[:-1] = run_id[1:] == run_id[:-1]
+        is_pair = is_start & has_next
 
-        nch = np.zeros(n_tiles, dtype=np.int32)
-        for t in range(n_tiles):
-            Pt = max(len(pair_starts[t * R + r]) for r in range(R))
-            nch[t] = -(-max(Pt, 1) // Cp)
-        max_ch = int(nch.max())
+        kl = np.nonzero(is_start)[0]          # slot left-block data index
+        s_row = row_of[kl]
+        s_col = indices[kl].astype(np.int64)
+        s_pair = is_pair[kl]
+        npairs = np.bincount(s_row, minlength=nbr).astype(np.int32)
+        slot_off = np.concatenate([[0], np.cumsum(npairs)])
+        s_q = np.arange(kl.size) - slot_off[s_row]
+
+        Pt = npairs.reshape(n_tiles, R).max(axis=1)
+        nch = (-(-np.maximum(Pt, 1) // Cp)).astype(np.int32)
+        max_ch = int(nch.max()) if n_tiles else 1
         Q = max_ch * Cp
 
         np_dt = np.dtype(jnp.zeros((), dtype).dtype)
         vals = np.zeros((nbr, Q, b, 2 * b), dtype=np_dt)
         vals_b = None if data_b is None else np.zeros_like(vals)
         cols = np.zeros((nbr, Q), dtype=np.int32)
-        streams = [(vals, data)] + (
+        # clamp so the (2b, m) X slice stays in bounds for a singleton in
+        # the LAST block column
+        clamp = (~s_pair) & (s_col + 1 >= nbr)
+        cols[s_row, s_q] = np.where(clamp, s_col - 1, s_col).astype(np.int32)
+        for v, d in [(vals, data)] + (
             [] if vals_b is None else [(vals_b, data_b)]
-        )
-        for r in range(nbr):
-            for q, (c, kl, kr) in enumerate(pair_starts[r]):
-                # clamp so the (2b, m) X slice stays in bounds for a
-                # singleton in the LAST block column
-                if c + 1 >= nbr and kr < 0:
-                    cols[r, q] = c - 1
-                    for v, d in streams:
-                        v[r, q, :, b:] = d[kl]
-                else:
-                    cols[r, q] = c
-                    for v, d in streams:
-                        v[r, q, :, :b] = d[kl]
-                        if kr >= 0:
-                            v[r, q, :, b:] = d[kr]
+        ):
+            nc = ~clamp
+            v[s_row[nc], s_q[nc], :, :b] = d[kl[nc]]
+            v[s_row[clamp], s_q[clamp], :, b:] = d[kl[clamp]]
+            v[s_row[s_pair], s_q[s_pair], :, b:] = d[kl[s_pair] + 1]
 
         def _to2d(v):
             return np.ascontiguousarray(
@@ -249,9 +250,7 @@ class BELLPairs:
 
         # per-tile aligned X-window metadata (live slots only; +1 covers
         # the pair's second block column)
-        live = np.zeros((nbr, Q), dtype=bool)
-        for r in range(nbr):
-            live[r, : len(pair_starts[r])] = True
+        live = np.arange(Q)[None, :] < npairs[:, None]
         big = np.where(live, cols, np.iinfo(np.int32).max)
         small = np.where(live, cols + 1, -1)
         cmin = np.minimum(
@@ -265,7 +264,6 @@ class BELLPairs:
         rel = np.where(live, rel, 0).astype(np.int32)
         ok = rel.min() >= 0 and not (rel[live] + 1 >= 2 * W_u).any()
 
-        npairs = np.array([len(s) for s in pair_starts], dtype=np.int32)
         return BELLPairs(
             vals2d=jnp.asarray(vals2d),
             cols=jnp.asarray(cols),

@@ -179,3 +179,68 @@ def test_pencil_bellpairs_kernel_dispatch():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(Ym[:n]), np.asarray(rm),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bellunion_roundtrip_kernel_banded():
+    """BELLUnion tile-union layout: exact CSR round-trip (both streams),
+    chunked-grid kernel and row-band split vs scipy (round-2 production
+    layout; sparse/bellunion.py design note)."""
+    import scipy.sparse as sp
+
+    from maxwell_tpu.kernels.spmm import (
+        bellunion_matmat_banded,
+        bellunion_matmat_pallas,
+    )
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.bellunion import BELLUnion
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    cav = PermutedProblem(BrickCavity3D(nx=6, ny=5, nz=4))
+    A = BELLUnion.from_csr(cav.K, block=8, dtype=jnp.float32, B=cav.M)
+    n = cav.K.shape[0]
+    assert abs(A.to_csr("a") - sp.csr_matrix(cav.K, dtype=np.float32)).max() == 0
+    assert abs(A.to_csr("b") - sp.csr_matrix(cav.M, dtype=np.float32)).max() == 0
+
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.standard_normal((A.n_padded, 8)).astype(np.float32))
+    Xn = np.asarray(X)[:n]
+    refK = sp.csr_matrix(cav.K, dtype=np.float64) @ Xn
+    refM = sp.csr_matrix(cav.M, dtype=np.float64) @ Xn
+    Yk = bellunion_matmat_pallas(A, X, interpret=True)
+    Ym = bellunion_matmat_pallas(A, X, interpret=True, stream="b")
+    assert np.abs(np.asarray(Yk)[:n] - refK).max() <= 1e-5 * np.abs(refK).max()
+    assert np.abs(np.asarray(Ym)[:n] - refM).max() <= 1e-5 * np.abs(refM).max()
+
+    # banded split on a larger RCM problem (windows small relative to n)
+    cav2 = PermutedProblem(BrickCavity3D(nx=8, ny=8, nz=8))
+    A2 = BELLUnion.from_csr(cav2.K, block=8, dtype=jnp.float32)
+    n2 = cav2.K.shape[0]
+    AB = A2.banded(m=8, budget_bytes=24 * 1024)
+    assert len(AB.bands) >= 2
+    X2 = jnp.asarray(rng.standard_normal((A2.n_padded, 8)).astype(np.float32))
+    ref2 = sp.csr_matrix(cav2.K, dtype=np.float64) @ np.asarray(X2)[:n2]
+    Yb = bellunion_matmat_banded(AB, X2, interpret=True)
+    assert np.abs(np.asarray(Yb)[:n2] - ref2).max() <= 1e-5 * np.abs(ref2).max()
+
+
+def test_pencil_union_kernel_dispatch():
+    """Pencil(kernel="union") K_mm/M_mm/KM_mm parity vs the ref pencil."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.solvers.operator import Pencil
+
+    cav = BrickCavity3D(nx=5, ny=5, nz=5)
+    pen = Pencil.from_problem(cav, kernel="union", dtype=jnp.float32)
+    ref = Pencil.from_problem(cav, kernel="ref", dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (pen.n_padded, 8), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Yk, Ym = pen.KM_mm(X)
+    n = pen.n
+    rk = ref.K_mm(X[: ref.n_padded])[:n]
+    rm = ref.M_mm(X[: ref.n_padded])[:n]
+    np.testing.assert_allclose(np.asarray(Yk[:n]), np.asarray(rk),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ym[:n]), np.asarray(rm),
+                               rtol=2e-5, atol=2e-5)
