@@ -2,23 +2,30 @@
 
 Measures, on the available accelerator (TPU via the axon platform when
 reachable, CPU otherwise):
-  1. HBM copy bandwidth (the roofline for memory-bound SpMV).
-  2. Blocked-ELL SpMV/SpMM throughput in nnz/s/chip (north star, BASELINE
-     .json:2) for both the XLA einsum path and the Pallas kernel.
-  3. A preconditioned LOBPCG solve on a 3D Nedelec cavity (time + residual).
-  4. time-to-1e-8 residual: f32 device solve + f64 host refinement
-     (mixed precision — TPU has no fast f64; solvers/refine.py).
+  1. HBM copy bandwidth — the roofline denominator.
+  2. Operator-apply throughput for EACH path against ITS OWN byte traffic
+     (round-1 VERDICT item 5 — no cross-path roofline comparisons):
+       - XLA einsum BSR (b=4 tight) reference path
+       - Pallas BELLUnion tile-union kernel (production general-matrix path)
+       - Pallas BELLUnion row-band split at an X size the full-VMEM kernel
+         REFUSES (round-1 VERDICT item 2)
+       - assembly-free tap-stencil apply (flagship tensor-grid path), at
+         the 24^3 kernel grid and at 64^3
+  3. Physics parity gate: the eigensolves below must reproduce analytic
+     cavity modes to discretization accuracy or the bench REFUSES to print
+     a headline number (round-1 VERDICT item 10).
+  4. LOBPCG solves: 12^3 assembled (kernel="union") with a per-phase cost
+     breakdown (round-1 VERDICT item 4), and the 64^3 (811k-DOF) stencil
+     solve with time-to-tolerance.
+  5. time-to-1e-8 residual: f32 device solve + f64 host refinement.
 
-Timing method: the axon runtime makes naive wall clocks unreliable —
-block_until_ready does not fence chained device work, identical
-(executable, input) dispatches can be cache-served, and per-dispatch
-tunnel overhead is ~1-10 ms. Every kernel is therefore timed as a
-dependent in-jit chain with a host-fetch fence, and the reported time is
-the slope between two chain lengths (see _timeit_chain).
+Timing: dependent in-jit chains with host-fetch fences (slope between two
+chain lengths) — see _timeit_chain for why naive wall clocks lie on the
+axon runtime.
 
 Prints ONE JSON line:
   {"metric": "spmv_nnz_per_s_per_chip", "value": ..., "unit": "nnz/s",
-   "vs_baseline": <fraction of the measured HBM roofline>}
+   "vs_baseline": <fraction of the best path's own roofline>}
 (vs_baseline is versus the speed-of-light roofline because the reference
 publishes no numbers — BASELINE.json:13.)
 
@@ -39,14 +46,12 @@ def _timeit_chain(fn, x0, iters=16, repeats=2):
 
     Axon-runtime-proof timing (all measured on the target chip):
     - `block_until_ready` does NOT wait for chained device work on the
-      axon platform (it reported 250 TB/s "bandwidth"); a 1-element host
-      fetch does wait, so that is the fence.
+      axon platform; a 1-element host fetch does, so that is the fence.
     - repeated calls with an identical (executable, input) pair can be
-      served from a cache, so the chain feeds each call's output into
-      the next call's input.
-    - the fixed dispatch+fetch overhead over the tunnel is ~1-10 ms, so
-      the estimate is the SLOPE between a k-pass and a 2k-pass chain,
-      which cancels it.
+      served from a cache, so the chain feeds each output into the next
+      call's input.
+    - fixed dispatch+fetch overhead over the tunnel is ~1-10 ms, so the
+      estimate is the SLOPE between a k-pass and a 2k-pass chain.
     """
     import jax
 
@@ -77,8 +82,6 @@ def main():
     try:
         dev = jax.devices()[0]
     except Exception as e:
-        # TPU (axon) tunnel unavailable — fall back to CPU so the bench
-        # still reports a structural number instead of crashing.
         print(
             f"backend init failed ({e!r}); falling back to CPU",
             file=sys.stderr, flush=True,
@@ -88,140 +91,258 @@ def main():
     import jax.numpy as jnp
 
     platform = dev.platform
+    on_tpu = platform != "cpu"
     details = {"device": str(dev), "platform": platform}
 
+    def log(msg):
+        print(f"bench: {msg}", file=sys.stderr, flush=True)
+
     # ---- 1. HBM copy roofline -------------------------------------------
-    nbytes = 256 * 1024 * 1024 if platform != "cpu" else 64 * 1024 * 1024
+    nbytes = 256 * 1024 * 1024 if on_tpu else 64 * 1024 * 1024
     big = jnp.ones((nbytes // 4,), jnp.float32)
-    print("bench: hbm...", file=sys.stderr, flush=True)
-    # abs() keeps XLA from folding the chain into a single x + k pass
+    log("hbm...")
     t = _timeit_chain(lambda x: jnp.abs(x) + 1.0, big, iters=20)
     bw = 2 * nbytes / t  # read + write
     details["hbm_copy_GBps"] = bw / 1e9
 
-    # ---- 2. SpMV / SpMM throughput --------------------------------------
+    # ---- 2. operator-apply paths, each vs ITS OWN traffic ----------------
     from maxwell_tpu.problems import BrickCavity3D
-    from maxwell_tpu.sparse.reorder import PermutedProblem
     from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
-    from maxwell_tpu.kernels.spmm import bsr_matmat_pallas
+    from maxwell_tpu.sparse.reorder import PermutedProblem
 
-    grid = 24 if platform != "cpu" else 12
-    cav = PermutedProblem(BrickCavity3D(nx=grid, ny=grid, nz=grid))
-    # two layouts: b=8 (lane-aligned, what the Pallas kernels want) and
-    # b=4/tight slots (min storage — best for the memory-bound einsum path;
-    # block-size study in round-1 log: 2.7x less padding, ~4x faster on CPU)
-    A = BSRMatrix.from_csr(cav.K, block=8, dtype=jnp.float32)
-    A4 = BSRMatrix.from_csr(
-        cav.K, block=4, align_slots=4, dtype=jnp.float32
-    )
-    details["n"] = A.n
-    details["nnz_csr"] = int(cav.K.nnz)
-    details["nnz_dense_blocks_b8"] = int(A.nnz_dense)
-    details["nnz_dense_blocks_b4"] = int(A4.nnz_dense)
-
+    grid = 24 if on_tpu else 12
     m = 8
     key = jax.random.PRNGKey(0)
-    X = jax.random.normal(key, (A.n_padded, m), jnp.float32)
-    X4 = X[: A4.n_padded]
-
-    print("bench: spmm_ref8...", file=sys.stderr, flush=True)
-    t_ref8 = _timeit_chain(lambda Y: bsr_matmat_ref(A, Y), X)
-    print("bench: spmm_ref4...", file=sys.stderr, flush=True)
-    t_ref4 = _timeit_chain(lambda Y: bsr_matmat_ref(A4, Y), X4)
-    details["spmm_time_ref_b8_s"] = t_ref8
-    details["spmm_time_ref_b4_s"] = t_ref4
-    t_ref = min(t_ref8, t_ref4)
-
-    t_pal = None
-    if platform != "cpu":
-        try:
-            print("bench: pallas...", file=sys.stderr, flush=True)
-            t_pal = _timeit_chain(lambda Y: bsr_matmat_pallas(A, Y), X)
-        except Exception as e:  # pragma: no cover - depends on backend
-            details["pallas_error"] = repr(e)
-
+    cav = PermutedProblem(BrickCavity3D(nx=grid, ny=grid, nz=grid))
     nnz = int(cav.K.nnz)
-    details["spmm_time_ref_s"] = t_ref
-    details["spmm_time_pallas_s"] = t_pal
-    details["spmm_m"] = m
+    details["n"] = int(cav.K.shape[0])
+    details["nnz_csr"] = nnz
+    paths = {}
 
-    # speed-of-light: SpMM traffic ~ blocks (4B/entry) + cols + X + Y
-    bytes_touched = (
-        A.blocks.size * 4 + A.cols.size * 4 + 2 * A.n_padded * m * 4
+    def record(name, t, bytes_own):
+        roof = bytes_own / bw
+        paths[name] = {
+            "time_s": t,
+            "bytes_own": int(bytes_own),
+            "roofline_s": roof,
+            "pct_of_own_roofline": 100.0 * roof / t,
+            "nnz_per_s": nnz / t,
+        }
+        log(f"  {name}: {t*1e6:.0f}us {100*roof/t:.1f}% of own roofline "
+            f"{nnz/t/1e9:.2f} Gnnz/s")
+
+    # 2a. einsum reference path (b=4 tight slots)
+    log("spmm_ref_b4...")
+    A4 = BSRMatrix.from_csr(cav.K, block=4, align_slots=4, dtype=jnp.float32)
+    X4 = jax.random.normal(key, (A4.n_padded, m), jnp.float32)
+    t_ref = _timeit_chain(lambda Y: bsr_matmat_ref(A4, Y), X4)
+    record(
+        "einsum_ref_b4", t_ref,
+        A4.blocks.size * 4 + A4.cols.size * 4 + 2 * A4.n_padded * m * 4,
     )
-    sol_t = bytes_touched / bw
-    details["roofline_time_s"] = sol_t
 
-    # ---- 2b. assembly-free stencil apply (effective nnz/s) ----------------
+    # 2b. BELLUnion production kernel (+ banded split where full-X refuses)
+    if on_tpu:
+        try:
+            from maxwell_tpu.kernels.spmm import (
+                _VMEM_X_BUDGET,
+                bellunion_matmat_banded,
+                bellunion_matmat_pallas,
+            )
+            from maxwell_tpu.sparse.bellunion import BELLUnion
+
+            log("bellunion build...")
+            AU = BELLUnion.from_csr(cav.K, block=8, dtype=jnp.float32)
+            XU = jax.random.normal(key, (AU.n_padded, m), jnp.float32)
+            log("bellunion...")
+            t_un = _timeit_chain(
+                lambda Y: bellunion_matmat_pallas(AU, Y), XU
+            )
+            record(
+                "pallas_bellunion", t_un,
+                AU.nnz_dense * 4 + AU.ucols.size * 4
+                + 2 * AU.n_padded * m * 4,
+            )
+            details["spmm_time_pallas_s"] = t_un
+            details["roofline_time_s"] = paths["pallas_bellunion"][
+                "roofline_s"
+            ]
+
+            # banded evidence at an X the full-VMEM kernel REFUSES
+            m_big = 96
+            assert (AU.n_padded * m_big * 4) > _VMEM_X_BUDGET
+            log("bellunion banded (X > VMEM)...")
+            AB = AU.banded(m=m_big, budget_bytes=10 * 1024 * 1024)
+            XB = jax.random.normal(key, (AU.n_padded, m_big), jnp.float32)
+            t_band = _timeit_chain(
+                lambda Y: bellunion_matmat_banded(AB, Y)[: AU.n_padded],
+                XB,
+            )
+            record(
+                "pallas_bellunion_banded_m96", t_band,
+                AB.nnz_dense * 4 + 2 * AU.n_padded * m_big * 4,
+            )
+            details["banded_n_bands"] = len(AB.bands)
+            details["banded_x_bytes"] = int(AU.n_padded * m_big * 4)
+            del AU, AB, XU, XB
+        except Exception as e:  # pragma: no cover - backend dependent
+            details["pallas_error"] = repr(e)[:400]
+
+    # 2c. assembly-free tap stencil (flagship path), same grid and 64^3
     try:
         from maxwell_tpu.problems.stencil3d import StencilPencil3D
 
-        stp = StencilPencil3D.build(
-            nx=grid, ny=grid, nz=grid, dtype=jnp.float32
-        )
+        log("stencil...")
+        stp = StencilPencil3D.build(nx=grid, ny=grid, nz=grid,
+                                    dtype=jnp.float32)
         Xs = jax.random.normal(key, (stp.n_padded, m), jnp.float32)
-        print("bench: stencil...", file=sys.stderr, flush=True)
         t_st = _timeit_chain(lambda Y: stp.K_mm(Y), Xs)
+        # own traffic: fields in + out (coefficients are O(1) taps)
+        record("stencil_taps", t_st, 2 * stp.n_padded * m * 4)
         details["stencil_time_s"] = t_st
-        details["stencil_effective_nnz_per_s"] = nnz / t_st
+
+        g_l = 64 if on_tpu else 16
+        log(f"stencil {g_l}^3...")
+        stl = StencilPencil3D.build(nx=g_l, ny=g_l, nz=g_l,
+                                    dtype=jnp.float32)
+        Xl = jax.random.normal(key, (stl.n_padded, m), jnp.float32)
+        t_stl = _timeit_chain(lambda Y: stl.K_mm(Y), Xl, iters=4)
+        nnz_l = nnz * (g_l / grid) ** 3  # nnz scales with cells
+        roof_l = 2 * stl.n_padded * m * 4 / bw
+        paths[f"stencil_taps_{g_l}"] = {
+            "time_s": t_stl,
+            "bytes_own": int(2 * stl.n_padded * m * 4),
+            "roofline_s": roof_l,
+            "pct_of_own_roofline": 100.0 * roof_l / t_stl,
+            "nnz_per_s": nnz_l / t_stl,
+        }
+        log(f"  stencil_taps_{g_l}: {t_stl*1e6:.0f}us "
+            f"{nnz_l/t_stl/1e9:.2f} Gnnz/s")
     except Exception as e:  # pragma: no cover
-        t_st = None
-        details["stencil_error"] = repr(e)
+        details["stencil_error"] = repr(e)[:400]
 
-    # headline: best operator-apply path, in matrix-nnz/s. The stencil
-    # (assembly-free) path legitimately exceeds the memory-bound roofline —
-    # that is the point of assembly-free storage on TPU.
-    t_candidates = [t for t in (t_ref, t_pal, t_st) if t is not None]
-    best_t = min(t_candidates)
-    nnz_per_s = nnz / best_t
+    details["paths"] = paths
+
+    # headline: best effective nnz/s across paths, vs ITS OWN roofline
+    best_name = max(paths, key=lambda k: paths[k]["nnz_per_s"])
+    best = paths[best_name]
+    details["headline_path"] = best_name
+    nnz_per_s = best["nnz_per_s"]
+    vs_roofline = best["pct_of_own_roofline"] / 100.0
     details["spmv_nnz_per_s"] = nnz_per_s
-    vs_roofline = sol_t / best_t
-    details["pct_of_roofline"] = 100.0 * vs_roofline
+    details["pct_of_roofline"] = best["pct_of_own_roofline"]
 
-    # ---- 3. eigensolve (config-2-style on 3D operator) -------------------
+    # ---- 3. eigensolves + parity gate -------------------------------------
+    parity_ok = True
     try:
-        from maxwell_tpu.solvers.operator import Pencil
         from maxwell_tpu.solvers import lobpcg
+        from maxwell_tpu.solvers.operator import Pencil
         from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
 
-        g2 = 10 if platform == "cpu" else 12
+        g2 = 10 if not on_tpu else 12
         cav2 = BrickCavity3D(nx=g2, ny=g2, nz=g2)
-        pencil = Pencil.from_problem(cav2, block=8, dtype=jnp.float32)
+        kern = "union" if on_tpu else "ref"
+        pencil = Pencil.from_problem(cav2, kernel=kern, dtype=jnp.float32)
         pc = shifted_cg_preconditioner(pencil, alpha=15.0, iters=16)
+
+        # per-phase cost breakdown (round-1 VERDICT item 4): time each
+        # building block of one LOBPCG iteration at the solve size
+        log("phase breakdown...")
+        mX = 8
+        Xp = jax.random.normal(key, (pencil.n_padded, mX), jnp.float32)
+        phases = {}
+        phases["KM_mm"] = _timeit_chain(
+            lambda Z: (lambda a, b: a + b)(*pencil.KM_mm(Z)), Xp, iters=4
+        )
+        phases["project"] = _timeit_chain(
+            lambda Z: pencil.project(Z), Xp, iters=4
+        )
+        phases["precond"] = _timeit_chain(lambda Z: pc(Z), Xp, iters=4)
+        details["phase_seconds_per_call"] = phases
+        log("  " + json.dumps({k: round(v * 1e3, 3) for k, v in
+                               phases.items()}) + " (ms/call)")
+
         t0 = time.perf_counter()
-        print("bench: lobpcg...", file=sys.stderr, flush=True)
+        log("lobpcg 12^3 assembled...")
         res = lobpcg(pencil, nev=5, maxiter=80, tol=2e-6, precond=pc)
         t_solve = time.perf_counter() - t0
         details["lobpcg_3d_n"] = pencil.n
         details["lobpcg_3d_time_s"] = t_solve
-        details["lobpcg_3d_iters"] = res.iterations
+        details["lobpcg_3d_iters"] = int(res.iterations)
         details["lobpcg_3d_max_res"] = float(res.residuals.max())
         details["lobpcg_3d_eigs"] = [float(v) for v in res.eigenvalues]
+        ana = cav2.analytic_eigenvalues(5)
+        rel = np.abs(np.sort(res.eigenvalues) / ana - 1.0)
+        details["lobpcg_3d_analytic_rel_err"] = [float(v) for v in rel]
+        # parity gate: discretization error at 12^3 is ~0.6%; 2% margin
+        if rel.max() > 0.02:
+            parity_ok = False
     except Exception as e:  # pragma: no cover
-        details["lobpcg_error"] = repr(e)
+        details["lobpcg_error"] = repr(e)[:400]
+        parity_ok = False
 
-    # ---- 3b. time-to-1e-8 residual (THE BASELINE metric) -----------------
-    # mixed precision: f32 device LOBPCG + f64 host RQI refinement
-    # (solvers/refine.py — TPU f64 is emulated and ~100x slower than f32;
-    # this is the production path to the 1e-8 contract).
+    # ---- 3b. 64^3 stencil LOBPCG (811k DOFs, assembly-free) --------------
+    if on_tpu:
+        try:
+            from maxwell_tpu.problems.stencil3d import StencilPencil3D
+            from maxwell_tpu.solvers.precond import (
+                shifted_cg_preconditioner,
+            )
+
+            g3 = 64
+            log(f"lobpcg {g3}^3 stencil...")
+            stp3 = StencilPencil3D.build(nx=g3, ny=g3, nz=g3,
+                                         dtype=jnp.float32)
+            pc3 = shifted_cg_preconditioner(stp3, alpha=15.0, iters=16)
+            t0 = time.perf_counter()
+            res3 = lobpcg(stp3, nev=5, maxiter=60, tol=2e-6, precond=pc3)
+            t3 = time.perf_counter() - t0
+            details["lobpcg_64_n"] = int(stp3.n)
+            details["lobpcg_64_time_s"] = t3
+            details["lobpcg_64_iters"] = int(res3.iterations)
+            details["lobpcg_64_max_res"] = float(res3.residuals.max())
+            eigs3 = [float(v) for v in res3.eigenvalues]
+            details["lobpcg_64_eigs"] = eigs3
+            from maxwell_tpu.problems.analytic import (
+                cavity_eigenvalues_3d,
+            )
+
+            ana3 = cavity_eigenvalues_3d(1.0, 1.0, 1.0, 5)
+            rel3 = np.abs(np.sort(eigs3) / ana3 - 1.0)
+            details["lobpcg_64_analytic_rel_err"] = [float(v) for v in rel3]
+            if rel3.max() > 0.005:  # h^2 at 64^3 is ~0.03%; 0.5% margin
+                parity_ok = False
+        except Exception as e:  # pragma: no cover
+            details["lobpcg_64_error"] = repr(e)[:400]
+
+    # ---- 3c. time-to-1e-8 residual (THE BASELINE metric) -----------------
     try:
         from maxwell_tpu.solvers.refine import refine_f64
 
         t0 = time.perf_counter()
-        print("bench: time_to_1e8...", file=sys.stderr, flush=True)
+        log("time_to_1e8...")
         res32 = lobpcg(pencil, nev=5, maxiter=120, tol=1e-5, precond=pc)
         ref = refine_f64(
             cav2, res32.eigenvectors, theta=res32.eigenvalues, tol=1e-8
         )
         details["time_to_1e8_s"] = time.perf_counter() - t0
         details["time_to_1e8_converged"] = bool(ref.converged)
-        details["time_to_1e8_iters"] = res32.iterations + ref.iterations
+        details["time_to_1e8_iters"] = int(res32.iterations + ref.iterations)
         details["time_to_1e8_max_res"] = float(ref.residuals.max())
     except Exception as e:  # pragma: no cover
-        details["time_to_1e8_error"] = repr(e)
+        details["time_to_1e8_error"] = repr(e)[:400]
 
+    details["parity_ok"] = parity_ok
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
+
+    if not parity_ok:
+        # refuse a perf headline when physics parity failed (VERDICT 10)
+        print(json.dumps({
+            "metric": "parity_failed", "value": 0.0, "unit": "bool",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
 
     print(
         json.dumps(

@@ -198,18 +198,23 @@ def bsr_matmat_pallas_windowed(
 
 
 def _bellunion_kernel(
-    tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref, *, b, m
+    tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref, xg_ref,
+    *, b, m, CG
 ):
     k = pl.program_id(0)
     k8 = k % 8
-    CG = 128 // b
-    parts = [
-        x_ref[pl.ds(ucols_ref[k8, g] * b, b), :] for g in range(CG)
-    ]
-    xg = jnp.concatenate(parts, axis=0)  # (128, m)
+
+    # FULLY unrolled gather: a Mosaic rolled loop costs ~100 ns/iteration
+    # (measured: cl=256 rolled-by-8 ran no faster than cl=128 unrolled),
+    # while the unrolled slices stay ~1 ns/vreg (bench/exp_gather.py).
+    # Compile time grows with CG but is paid once per shape.
+    for q in range(CG):
+        xg_ref[pl.ds(q * b, b), :] = x_ref[
+            pl.ds(ucols_ref[k8, q] * b, b), :
+        ]
     d = jnp.dot(
         vals_ref[:],
-        xg,
+        xg_ref[:],
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -233,7 +238,8 @@ def bellunion_matmat_pallas(
     consecutively per tile so Pallas holds them in VMEM until the tile
     changes. stream="b" applies the second value stream."""
     n_pad, m = A.n_padded, X.shape[1]
-    b = A.b
+    b, cl = A.b, A.cl
+    CG = cl // b
     vals = A.vals if stream == "a" else A.vals_b
     if vals is None:
         raise ValueError(f"value stream {stream!r} not present")
@@ -243,18 +249,18 @@ def bellunion_matmat_pallas(
     if X.shape[0] < n_pad:
         Xp = jnp.pad(X, ((0, n_pad - X.shape[0]), (0, 0)))
 
-    kernel = functools.partial(_bellunion_kernel, b=b, m=m)
+    kernel = functools.partial(_bellunion_kernel, b=b, m=m, CG=CG)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_of, first
         grid=(A.n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (8, 128 // b),
+                (8, CG),
                 lambda k, tof, fst: (k // 8, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (128, 128), lambda k, tof, fst: (k, 0),
+                (128, cl), lambda k, tof, fst: (k, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full X resident
@@ -263,6 +269,7 @@ def bellunion_matmat_pallas(
             (128, m), lambda k, tof, fst: (tof[k], 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((cl, m), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
