@@ -147,7 +147,8 @@ class Pencil:
             Y = banded(self.Kbanded, Xl, stream=stream)
         else:
             raise ValueError(
-                "X exceeds the VMEM budget and no banded split was built"
+                "X exceeds the VMEM budget and no banded split was built "
+                "(raise max_m in Pencil.from_problem)"
             )
         return Y[:, 0] if vec else Y
 
@@ -196,8 +197,14 @@ class Pencil:
         return self.K_mm(X), self.M_mm(X)
 
     def Minv_mm(self, X: jax.Array) -> jax.Array:
-        """M^-1 X via CG (mass matrices are well-conditioned)."""
-        if self.M is None:
+        """M^-1 X via CG (mass matrices are well-conditioned).
+
+        kernel="union"/"bellpairs" pencils always store the mass matrix as
+        K's second value stream (M is None by construction), so the
+        M-is-None identity shortcut applies ONLY to the BSR kernels —
+        otherwise Lanczos direct mode would silently solve K instead of
+        M^-1 K (round-2 advisor finding, high)."""
+        if self.kernel not in ("bellpairs", "union") and self.M is None:
             return X
         return cg(
             self.M_mm,
@@ -227,6 +234,7 @@ class Pencil:
         block: int | None = None,
         kernel: str = "ref",
         dtype=jnp.float32,
+        max_m: int = 96,
     ) -> "Pencil":
         """Build from a cavity problem (RectCavity2D / BrickCavity3D).
 
@@ -250,10 +258,21 @@ class Pencil:
                 problem.K, block=block, dtype=dtype, B=problem.M
             )
             M = None
-            # band split for multivectors up to m=32 when full X would
-            # overflow VMEM (duplicates value storage; only built if needed)
-            if (K.n_padded + block) * 32 * 4 > _VMEM_X_BUDGET:
-                Kbanded = K.banded(m=32, budget_bytes=10 * 1024 * 1024)
+            # band split sized for the LARGEST width the solvers can
+            # request (LOBPCG's [X, W, P] basis is 3*m_block, <= max_m),
+            # built whenever ANY width up to max_m would overflow VMEM —
+            # a width between 32 and max_m must never hit the "no banded
+            # split" runtime error (round-2 advisor finding, medium).
+            # Duplicates value storage; only built if needed.
+            if (K.n_padded + block) * max_m * 4 > _VMEM_X_BUDGET:
+                # window budget tied to the kernel's X budget so every
+                # band's window passes the kernel-side VMEM check
+                Kbanded = K.banded(
+                    m=max_m,
+                    budget_bytes=min(
+                        10 * 1024 * 1024, _VMEM_X_BUDGET * 5 // 6
+                    ),
+                )
         else:
             align = None if kernel == "pallas" else 4
             K = BSRMatrix.from_csr(

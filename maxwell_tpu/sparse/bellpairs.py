@@ -306,6 +306,15 @@ class BELLPairs:
             big.reshape(n_tiles, R * Q).min(axis=1), nbr - 1
         )
         cmax_t = small.reshape(n_tiles, R * Q).max(axis=1) + 2  # pair spill
+        # a tile with ZERO live slots would yield an inverted window
+        # (cmin=nbr-1, cmax=1) and a failing slice downstream — clamp it to
+        # a degenerate valid window at the tile's own diagonal block
+        # (values there are all zero, so any in-range window is correct)
+        # — round-2 advisor finding, low
+        empty = ~live.reshape(n_tiles, R * Q).any(axis=1)
+        own = np.minimum(np.arange(n_tiles) * R, max(nbr - 2, 0))
+        cmin_t = np.where(empty, own, cmin_t)
+        cmax_t = np.where(empty, own + 2, cmax_t)
         max_rows = budget_bytes // (4 * m)
 
         bands = []

@@ -244,3 +244,81 @@ def test_pencil_union_kernel_dispatch():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(Ym[:n]), np.asarray(rm),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pencil_union_minv_is_mass_solve():
+    """Minv_mm on a kernel="union" pencil must solve with the MASS matrix
+    (stream b), not fall through the M-is-None identity shortcut — the
+    shortcut made Lanczos direct mode silently compute eigenvalues of K
+    instead of M^-1 K (round-2 advisor finding, high)."""
+    import scipy.sparse.linalg as spla
+    from jax.experimental.pallas import tpu as pltpu
+
+    from maxwell_tpu.solvers.operator import Pencil
+
+    cav = RectCavity2D(nx=6, ny=5)
+    pen = Pencil.from_problem(cav, kernel="union", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    X = np.zeros((pen.n_padded, 4), np.float32)
+    X[: pen.n] = rng.standard_normal((pen.n, 4)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Y = np.asarray(pen.Minv_mm(jnp.asarray(X)))
+    ref = spla.spsolve(cav.M.tocsc(), X[: pen.n])
+    assert np.abs(Y[: pen.n] - ref).max() > 0  # not the identity shortcut
+    np.testing.assert_allclose(Y[: pen.n], ref, rtol=5e-4, atol=5e-4)
+
+
+def test_pencil_union_wide_m_routes_to_banded(monkeypatch):
+    """An apply wider than 32 columns must route through the banded split
+    when full X overflows the VMEM budget — from_problem sizes the split
+    for max_m, not 32 (round-2 advisor finding, medium)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import maxwell_tpu.kernels.spmm as spmm
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.solvers.operator import Pencil
+
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    monkeypatch.setattr(spmm, "_VMEM_X_BUDGET", 384 * 1024)
+    cav = PermutedProblem(BrickCavity3D(nx=8, ny=8, nz=8))
+    pen = Pencil.from_problem(cav, kernel="union", dtype=jnp.float32)
+    assert pen.Kbanded is not None
+    m = 96
+    assert not pen._bell_fits_vmem(m)  # full kernel would refuse
+    ref = Pencil.from_problem(cav, kernel="ref", dtype=jnp.float32)
+    key = jax.random.PRNGKey(1)
+    X = jax.random.normal(key, (pen.n_padded, m), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Yk, Ym = pen.KM_mm(X)
+    n = pen.n
+    rk = np.asarray(ref.K_mm(X[: ref.n_padded])[:n])
+    rm = np.asarray(ref.M_mm(X[: ref.n_padded])[:n])
+    np.testing.assert_allclose(np.asarray(Yk[:n]), rk, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ym[:n]), rm, rtol=2e-5, atol=2e-5)
+
+
+def test_bellpairs_banded_empty_tile():
+    """A tile with zero live slots must get a clamped (valid) window, not
+    an inverted one (round-2 advisor finding, low)."""
+    import scipy.sparse as sp
+
+    from maxwell_tpu.kernels.spmm import bellpairs_matmat_banded
+    from maxwell_tpu.sparse.bellpairs import BELLPairs
+
+    # entries confined to the first 100 rows/cols of a 256-dim matrix:
+    # the second 128-row tile has zero live pairs
+    Ac = sp.eye(100).tocoo()
+    Af = sp.coo_matrix((Ac.data, (Ac.row, Ac.col)), shape=(256, 256)).tocsr()
+    A = BELLPairs.from_csr(Af, block=8, dtype=jnp.float32)
+    # budget chosen so the empty tile lands in its OWN band (merging with
+    # tile 0 would mask the inverted window)
+    AB = A.banded(m=8, budget_bytes=130 * 4 * 8)
+    assert len(AB.bands) >= 2
+    assert all(r > 0 for r in AB.col_rows)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((256, 8)).astype(np.float32))
+    Y = bellpairs_matmat_banded(AB, X, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(Y)[:256], Af @ np.asarray(X), rtol=1e-5, atol=1e-5
+    )
