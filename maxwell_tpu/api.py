@@ -22,7 +22,7 @@ def solve(
     maxiter: int | None = None,
     dtype=jnp.float64,
     block: int | None = None,
-    kernel: str = "ref",
+    kernel: str = "auto",
     distributed: bool = False,
     n_shards: int | None = None,
     refine: bool | str = "auto",
@@ -33,7 +33,9 @@ def solve(
 
     solver: "lobpcg" (default; preconditioned, alpha auto-tuned from the
     analytic oracle when available), "lanczos", or "shift_invert" (needs
-    sigma). kernel: "ref" (XLA einsum) or "pallas" (TPU kernels).
+    sigma). kernel: "auto" (default — the production BELLUnion Pallas
+    kernel on real TPUs at f32, XLA einsum reference elsewhere), or an
+    explicit "ref" | "pallas" | "bellpairs" | "union".
     distributed=True shards over all visible devices (or n_shards).
 
     refine: mixed-precision polish (solvers/refine.py). "auto" (default)
@@ -42,10 +44,18 @@ def solve(
     inverse-iteration sweeps on the host reach tol. TPU has no fast f64 — this is how the 1e-8
     residual contract is met at TPU speed (SURVEY.md §6).
     """
-    if dtype == jnp.float64:
-        import jax
+    import jax
 
+    if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
+    if kernel == "auto":
+        # PRODUCTION path on real TPUs: the BELLUnion Pallas kernel (f32;
+        # round-2 VERDICT item 4); XLA einsum reference elsewhere
+        kernel = (
+            "union"
+            if jax.devices()[0].platform == "tpu" and dtype == jnp.float32
+            else "ref"
+        )
 
     want_refine = refine is True or (
         refine == "auto" and dtype == jnp.float32 and tol < 1e-6

@@ -125,7 +125,6 @@ def main(argv=None):
     use_stencil = stg.get("operator") == "stencil"
     force_refine = False
     if dtype == jnp.float64:
-        jax.config.update("jax_enable_x64", True)
         if jax.devices()[0].platform == "tpu":
             # the axon TPU stores f64 at f32 precision (transfers truncate
             # through f32) and emulates f64 arithmetic ~100x slower than
@@ -138,8 +137,24 @@ def main(argv=None):
             )
             dtype = jnp.float32
             force_refine = True
+        else:
+            jax.config.update("jax_enable_x64", True)
     block = stg.get("block")  # None -> per-kernel auto layout
-    kernel = stg.get("kernel", "ref")
+    kernel = stg.get("kernel", "auto")
+    if kernel == "auto":
+        # PRODUCTION path on real TPUs: the BELLUnion Pallas kernel (f32,
+        # assembled operators — round-2 VERDICT item 4); XLA einsum
+        # reference elsewhere (Pallas TPU kernels do not lower on CPU
+        # outside interpret mode, and f64 runs use the reference path)
+        kernel = (
+            "union"
+            if (
+                jax.devices()[0].platform == "tpu"
+                and dtype == jnp.float32
+                and not use_stencil
+            )
+            else "ref"
+        )
     t0 = time.perf_counter()
     # the assembly-free (stencil) path must not pay host CSR assembly —
     # build the assembled problem lazily only where matrices are consumed
@@ -246,6 +261,7 @@ def main(argv=None):
                 nev=nev,
                 maxiter=maxiter,
                 tol=tol,
+                KM=(problem.K, problem.M),  # factor the assembled matrices
             )
         elif kind == "lobpcg":
             from maxwell_tpu.solvers import lobpcg

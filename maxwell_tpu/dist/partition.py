@@ -28,9 +28,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import scipy.sparse as sp
+
 from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
 from maxwell_tpu.solvers.cg import cg
 from maxwell_tpu.solvers.deflation import GradientProjector
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _halo_depth_csr(C, n_pad: int, L: int, b: int) -> int:
+    """Max off-shard block-column distance (block-row units) of any stored
+    nonzero — the uniform halo depth H, computed directly from CSR."""
+    C = sp.csr_matrix(C).copy()
+    C.eliminate_zeros()
+    C.resize((n_pad, n_pad))
+    if C.nnz == 0:
+        return 0
+    counts = np.diff(C.indptr)
+    brow = np.repeat(np.arange(n_pad) // b, counts)
+    bcol = C.indices // b
+    lo = (brow // L) * L
+    d = np.maximum(lo - bcol, bcol - (lo + L - 1))
+    return max(int(d.max()), 0)
+
+
+def _shard_int_bnd_csr(C, D: int, Lb: int, Hb: int, n_pad: int):
+    """Per-shard (interior, boundary) CSR pieces in the LOCAL layouts:
+    interior (Lb, Lb) over own rows/cols; boundary (Lb, 2*Hb) whose columns
+    are [left halo | right halo] — exactly the section exchange_halos
+    appends after the own rows. Ends of the chain get zero columns."""
+    C = sp.csr_matrix(C)
+    C.resize((n_pad, n_pad))
+    ints, bnds = [], []
+    for d in range(D):
+        lo, hi = d * Lb, (d + 1) * Lb
+        rows = C[lo:hi].tocsr()
+        ints.append(rows[:, lo:hi].tocsr())
+        if Hb:
+            l0, r1 = max(lo - Hb, 0), min(hi + Hb, n_pad)
+            parts = []
+            if Hb > lo - l0:
+                parts.append(sp.csr_matrix((Lb, Hb - (lo - l0))))
+            parts.append(rows[:, l0:lo])
+            parts.append(rows[:, hi:r1])
+            if Hb > r1 - hi:
+                parts.append(sp.csr_matrix((Lb, Hb - (r1 - hi))))
+            bnds.append(sp.hstack(parts).tocsr())
+    return ints, bnds
 
 
 def _after(x, dep):
@@ -78,59 +125,60 @@ class DistPencil:
     proj_tol: float = 1e-10
     proj_iters: int = 150
     halo_impl: str = "ppermute"  # or "rdma" (Pallas remote-DMA kernel)
+    # kernel="union" (PRODUCTION Pallas path — round-2 VERDICT item 1): the
+    # BSR leaves above are None and the operator lives in two per-shard
+    # BELLUnion layouts carrying BOTH value streams (vals = K, vals_b = M):
+    # Ui_* is the square interior part (columns = own rows), Ub_* the
+    # rectangular boundary part whose columns index the [left|right] halo
+    # section of the exchanged buffer. Chunk counts are padded to the max
+    # over shards (BELLUnion.pad_chunks) so shard_map sees uniform leaves.
+    Ui_vals: jax.Array | None = None  # (D*NCi*128, u_cl)
+    Ui_vals_b: jax.Array | None = None
+    Ui_ucols: jax.Array | None = None  # (D*NCi, u_cl//b)
+    Ui_tile: jax.Array | None = None  # (D*NCi,)
+    Ui_first: jax.Array | None = None  # (D*NCi,)
+    Ub_vals: jax.Array | None = None  # (D*NCb*128, ub_cl)
+    Ub_vals_b: jax.Array | None = None
+    Ub_ucols: jax.Array | None = None
+    Ub_tile: jax.Array | None = None
+    Ub_first: jax.Array | None = None
+    u_cl: int = 512  # interior chunk lanes
+    ub_cl: int = 512  # boundary chunk lanes
+
+    _CHILD_FIELDS = (
+        "K_blocks", "K_cols", "K_blocks_bnd", "K_cols_bnd",
+        "M_blocks", "M_cols", "M_blocks_bnd", "M_cols_bnd",
+        "head", "tail", "weight",
+        "Ui_vals", "Ui_vals_b", "Ui_ucols", "Ui_tile", "Ui_first",
+        "Ub_vals", "Ub_vals_b", "Ub_ucols", "Ub_tile", "Ub_first",
+    )
+    _AUX_FIELDS = (
+        "D", "L", "H", "b", "n_nodes", "n", "axis", "kernel",
+        "mass_tol", "mass_iters", "proj_tol", "proj_iters", "halo_impl",
+        "u_cl", "ub_cl",
+    )
 
     def tree_flatten(self):
-        children = (
-            self.K_blocks,
-            self.K_cols,
-            self.K_blocks_bnd,
-            self.K_cols_bnd,
-            self.M_blocks,
-            self.M_cols,
-            self.M_blocks_bnd,
-            self.M_cols_bnd,
-            self.head,
-            self.tail,
-            self.weight,
-        )
-        aux = (
-            self.D,
-            self.L,
-            self.H,
-            self.b,
-            self.n_nodes,
-            self.n,
-            self.axis,
-            self.kernel,
-            self.mass_tol,
-            self.mass_iters,
-            self.proj_tol,
-            self.proj_iters,
-            self.halo_impl,
-        )
+        children = tuple(getattr(self, f) for f in self._CHILD_FIELDS)
+        aux = tuple(getattr(self, f) for f in self._AUX_FIELDS)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        kw = dict(zip(cls._CHILD_FIELDS, children))
+        kw.update(zip(cls._AUX_FIELDS, aux))
+        return cls(**kw)
 
     # --- shard_map plumbing ----------------------------------------------
     def partition_specs(self):
         """PartitionSpec pytree matching tree_flatten children (row-sharded
-        leading axis everywhere)."""
+        leading axis everywhere; absent (None) leaves stay None)."""
         from jax.sharding import PartitionSpec as P
 
         row = P(self.axis)
-        return DistPencil(
-            K_blocks=row, K_cols=row, K_blocks_bnd=row, K_cols_bnd=row,
-            M_blocks=row, M_cols=row, M_blocks_bnd=row, M_cols_bnd=row,
-            head=row, tail=row, weight=row,
-            D=self.D, L=self.L, H=self.H, b=self.b,
-            n_nodes=self.n_nodes, n=self.n, axis=self.axis,
-            kernel=self.kernel, mass_tol=self.mass_tol,
-            mass_iters=self.mass_iters, proj_tol=self.proj_tol,
-            proj_iters=self.proj_iters, halo_impl=self.halo_impl,
-        )
+        children, aux = self.tree_flatten()
+        specs = tuple(None if c is None else row for c in children)
+        return self.tree_unflatten(aux, specs)
 
     # --- host-side driver support -----------------------------------------
     @property
@@ -176,7 +224,9 @@ class DistPencil:
 
     @property
     def dtype(self):
-        return self.K_blocks.dtype
+        if self.K_blocks is not None:
+            return self.K_blocks.dtype
+        return self.Ui_vals.dtype
 
     # --- reductions --------------------------------------------------------
     def weigh(self, x):
@@ -298,19 +348,73 @@ class DistPencil:
         Y = Y + self._mm(blocks_bnd, cols_bnd, Xf)
         return Y[:, 0] if vec else Y
 
+    # --- BELLUnion production path (round-2 VERDICT item 1) -----------------
+    def _union_layout(self, boundary: bool):
+        """Reassemble the local BELLUnion view from the sharded leaves."""
+        from maxwell_tpu.sparse.bellunion import BELLUnion
+
+        Lb = self.n_local
+        if boundary:
+            return BELLUnion(
+                vals=self.Ub_vals, ucols=self.Ub_ucols, tile_of=self.Ub_tile,
+                first=self.Ub_first, vals_b=self.Ub_vals_b,
+                n=Lb, n_tiles=Lb // 128, b=self.b, cl=self.ub_cl,
+                n_cols=2 * self.H * self.b,
+            )
+        return BELLUnion(
+            vals=self.Ui_vals, ucols=self.Ui_ucols, tile_of=self.Ui_tile,
+            first=self.Ui_first, vals_b=self.Ui_vals_b,
+            n=Lb, n_tiles=Lb // 128, b=self.b, cl=self.u_cl, n_cols=Lb,
+        )
+
+    def _union_local_mm(self, X, streams):
+        """Per-shard union apply, same overlap structure as _local_mm: the
+        interior dot has no dataflow edge to the halo collectives; the
+        boundary dot gathers only the (2H*b, m) halo section — one exchange
+        serves BOTH value streams (K and M share the union layout), halving
+        KM_mm's halo traffic vs the BSR path's two exchanges."""
+        from maxwell_tpu.kernels.spmm import bellunion_matmat_pallas
+
+        interp = jax.default_backend() == "cpu"
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        Ai = self._union_layout(boundary=False)
+        Ys = [
+            bellunion_matmat_pallas(Ai, Xl, interpret=interp, stream=s)
+            for s in streams
+        ]
+        if self.Ub_vals is not None:
+            Xf = self.exchange_halos(Xl)
+            Lb, Hb2 = self.n_local, 2 * self.H * self.b
+            Xh = jax.lax.slice(Xf, (Lb, 0), (Lb + Hb2, Xl.shape[1]))
+            Ab = self._union_layout(boundary=True)
+            Ys = [
+                y + bellunion_matmat_pallas(Ab, Xh, interpret=interp, stream=s)
+                for y, s in zip(Ys, streams)
+            ]
+        outs = tuple(y[:, 0] if vec else y for y in Ys)
+        return outs[0] if len(outs) == 1 else outs
+
     def K_mm(self, X):
+        if self.kernel == "union":
+            return self._union_local_mm(X, ("a",))
         return self._local_mm(
             self.K_blocks, self.K_cols, self.K_blocks_bnd, self.K_cols_bnd, X
         )
 
     def M_mm(self, X):
+        if self.kernel == "union":
+            return self._union_local_mm(X, ("b",))
         return self._local_mm(
             self.M_blocks, self.M_cols, self.M_blocks_bnd, self.M_cols_bnd, X
         )
 
     def KM_mm(self, X):
         """(K @ X, M @ X) with the two halo exchanges deterministically
-        ordered (see _after)."""
+        ordered (see _after). kernel="union" shares ONE exchange between
+        the two streams."""
+        if self.kernel == "union":
+            return self._union_local_mm(X, ("a", "b"))
         KX = self.K_mm(X)
         MX = self.M_mm(_after(X, KX))
         return KX, MX
@@ -371,13 +475,20 @@ def partition_problem(
     attribute, not part of the pytree) for eigenvector un-permutation.
     """
     if block is None:
-        block = 8 if kernel == "pallas" else 4  # layout study, round-1 log
+        # layout study, round-1 log; the union kernel wants lane-aligned b=8
+        block = 8 if kernel in ("pallas", "union") else 4
     perm = None
     if reorder:
         from maxwell_tpu.sparse.reorder import PermutedProblem
 
         problem = PermutedProblem(problem)
         perm = problem.perm
+    if kernel == "union":
+        dp = _partition_union(
+            problem, n_shards, block, dtype, axis, halo_impl
+        )
+        object.__setattr__(dp, "perm", perm)
+        return dp
     row_tile = max(128 // block, 1)
     K = BSRMatrix.from_csr(
         problem.K, block=block, dtype=dtype, row_align=n_shards * row_tile
@@ -509,3 +620,89 @@ def partition_problem(
     # transforms — used by drivers to un-permute returned eigenvectors)
     object.__setattr__(dp, "perm", perm)
     return dp
+
+
+def _projector_leaves(problem, n_rows: int, dtype):
+    """Row-sharded gradient-projector data padded to n_rows."""
+    proj = GradientProjector.from_gradient(problem.G, n_rows, dtype=dtype)
+    n = problem.K.shape[0]
+    n_nodes = proj.n_nodes
+    head = np.full(n_rows, n_nodes, dtype=np.int32)
+    tail = np.full(n_rows, n_nodes, dtype=np.int32)
+    weight = np.zeros(n_rows, dtype=np.dtype(dtype))
+    head[:n] = np.asarray(proj.head)
+    tail[:n] = np.asarray(proj.tail)
+    weight[:n] = np.asarray(proj.weight)
+    return head, tail, weight, n_nodes
+
+
+def _partition_union(problem, n_shards, block, dtype, axis, halo_impl):
+    """kernel="union" partitioner (round-2 VERDICT item 1): the PRODUCTION
+    BELLUnion kernel on every shard. Per shard, the operator splits into a
+    square interior union layout (columns = own rows — overlappable with
+    the halo exchange) and a rectangular boundary union layout whose
+    columns index the [left|right] halo section, both carrying K and M as
+    two value streams on ONE union sparsity pattern. Chunk counts are
+    padded to the per-shard max so shard_map sees uniform leaves; padding
+    chunks multiply zeros into the last tile."""
+    from maxwell_tpu.sparse.bellunion import BELLUnion
+
+    if jnp.dtype(dtype) != jnp.float32:
+        raise ValueError("kernel='union' is the f32 TPU production path")
+    D, b = n_shards, block
+    Kc = sp.csr_matrix(problem.K)
+    Mc = sp.csr_matrix(problem.M)
+    n = Kc.shape[0]
+    n_pad = _round_up(n, D * 128)
+    Lb = n_pad // D
+    L = Lb // b
+    H = max(
+        _halo_depth_csr(Kc, n_pad, L, b), _halo_depth_csr(Mc, n_pad, L, b)
+    )
+    Hb = H * b
+
+    Ki, Kb = _shard_int_bnd_csr(Kc, D, Lb, Hb, n_pad)
+    Mi, Mb = _shard_int_bnd_csr(Mc, D, Lb, Hb, n_pad)
+
+    def _build(Ks, Ms, ncols, cl):
+        us = [
+            BELLUnion.from_csr(
+                Ks[d], block=b, dtype=dtype, B=Ms[d], ncols=ncols,
+                chunk_lanes=cl, to_device=False,
+            )
+            for d in range(D)
+        ]
+        NC = _round_up(max(u.n_chunks for u in us), 8)
+        us = [u.pad_chunks(NC) for u in us]
+        cat = lambda f: jnp.asarray(np.concatenate([f(u) for u in us]))
+        return (
+            cat(lambda u: u.vals),
+            cat(lambda u: u.vals_b),
+            cat(lambda u: u.ucols),
+            cat(lambda u: u.tile_of),
+            cat(lambda u: u.first),
+        )
+
+    u_cl = min(512, max(128, _round_up(Lb, 128)))
+    Ui = _build(Ki, Mi, Lb, u_cl)
+    ub_cl = 512
+    Ub = (None,) * 5
+    if Hb:
+        ub_cl = min(512, max(128, _round_up(2 * Hb, 128)))
+        Ub = _build(Kb, Mb, 2 * Hb, ub_cl)
+
+    head, tail, weight, n_nodes = _projector_leaves(problem, n_pad, dtype)
+    return DistPencil(
+        K_blocks=None, K_cols=None, K_blocks_bnd=None, K_cols_bnd=None,
+        M_blocks=None, M_cols=None, M_blocks_bnd=None, M_cols_bnd=None,
+        head=jnp.asarray(head),
+        tail=jnp.asarray(tail),
+        weight=jnp.asarray(weight),
+        D=D, L=L, H=H, b=b, n_nodes=n_nodes, n=n, axis=axis,
+        kernel="union", halo_impl=halo_impl,
+        Ui_vals=Ui[0], Ui_vals_b=Ui[1], Ui_ucols=Ui[2], Ui_tile=Ui[3],
+        Ui_first=Ui[4],
+        Ub_vals=Ub[0], Ub_vals_b=Ub[1], Ub_ucols=Ub[2], Ub_tile=Ub[3],
+        Ub_first=Ub[4],
+        u_cl=u_cl, ub_cl=ub_cl,
+    )

@@ -201,8 +201,13 @@ def _bellunion_kernel(
     tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref, xg_ref,
     *, b, m, CG
 ):
+    # int literals as EXPLICIT int32 consts: with jax_enable_x64 on, a bare
+    # python literal stages a weak-int64 constant whose int64->int32
+    # convert_element_type recurses forever in the Mosaic lowering helper
+    # (observed on-chip, round-3) — x64 callers must still be able to run
+    # the f32 production kernel
     k = pl.program_id(0)
-    k8 = k % 8
+    k8 = k % jnp.int32(8)
 
     # FULLY unrolled gather: a Mosaic rolled loop costs ~100 ns/iteration
     # (measured: cl=256 rolled-by-8 ran no faster than cl=128 unrolled),
@@ -210,7 +215,7 @@ def _bellunion_kernel(
     # Compile time grows with CG but is paid once per shape.
     for q in range(CG):
         xg_ref[pl.ds(q * b, b), :] = x_ref[
-            pl.ds(ucols_ref[k8, q] * b, b), :
+            pl.ds(ucols_ref[k8, q] * jnp.int32(b), b), :
         ]
     d = jnp.dot(
         vals_ref[:],
@@ -219,11 +224,11 @@ def _bellunion_kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    @pl.when(first_ref[k] == 1)
+    @pl.when(first_ref[k] == jnp.int32(1))
     def _set():
         o_ref[:] = d
 
-    @pl.when(first_ref[k] == 0)
+    @pl.when(first_ref[k] == jnp.int32(0))
     def _acc():
         o_ref[:] += d
 
@@ -246,8 +251,9 @@ def bellunion_matmat_pallas(
     if X.dtype != jnp.float32 or X.shape[0] * m * 4 > _VMEM_X_BUDGET:
         raise ValueError("bellunion kernel needs f32 X within VMEM budget")
     Xp = X
-    if X.shape[0] < n_pad:
-        Xp = jnp.pad(X, ((0, n_pad - X.shape[0]), (0, 0)))
+    need = A.n_cols_padded  # == n_padded for square layouts
+    if X.shape[0] < need:
+        Xp = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
 
     kernel = functools.partial(_bellunion_kernel, b=b, m=m, CG=CG)
     grid_spec = pltpu.PrefetchScalarGridSpec(

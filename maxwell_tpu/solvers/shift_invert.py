@@ -54,24 +54,43 @@ def _si_apply_iterative(
     return pencil.project(z)
 
 
-def build_shift_invert_op(pencil: Pencil, sigma: float, backend: str = "auto"):
+def build_shift_invert_op(
+    pencil: Pencil, sigma: float, backend: str = "auto", KM=None
+):
     """Factor K - sigma*M on host; return a Partial device apply.
 
     backend: "ldlt" (native C++ LDL^T, maxwell_tpu/native), "splu" (scipy
     SuperLU with partial pivoting), "iterative" (matrix-free MINRES inner
     solve — no factorization, works with stencil pencils), or "auto" (ldlt
     with splu fallback on a zero pivot or missing toolchain).
+    KM: optional (K, M) host scipy matrices to factor (skips the device
+    layout's to_csr round-trip — drivers that still hold the assembled
+    problem should pass these).
     """
     if backend == "iterative":
         return jax.tree_util.Partial(
             _si_apply_iterative, pencil, sigma, 1e-11, 400
         )
-    K = pencil.K.to_csr()
-    M = (
-        pencil.M.to_csr()
-        if pencil.M is not None
-        else sp.eye(K.shape[0], format="csr")
-    )
+    if KM is not None:
+        K, M = sp.csr_matrix(KM[0]), sp.csr_matrix(KM[1])
+    elif pencil.kernel == "union":
+        # fused-layout pencils carry the mass matrix as K's second value
+        # stream; M is None BY CONSTRUCTION and must not mean "identity"
+        K = pencil.K.to_csr("a")
+        M = pencil.K.to_csr("b")
+    elif pencil.kernel == "bellpairs":
+        raise ValueError(
+            "shift_invert factorization on a bellpairs pencil: pass "
+            "KM=(problem.K, problem.M) (the layout's to_csr has no "
+            "second-stream export)"
+        )
+    else:
+        K = pencil.K.to_csr()
+        M = (
+            pencil.M.to_csr()
+            if pencil.M is not None
+            else sp.eye(K.shape[0], format="csr")
+        )
     A = (K - sigma * M).tocsc()
 
     if backend in ("auto", "ldlt"):
@@ -97,9 +116,10 @@ def shift_invert_lanczos(
     tol: float = 1e-8,
     key: jax.Array | None = None,
     backend: str = "auto",
+    KM=None,
 ) -> EigenResult:
     """Find the nev eigenvalues of K x = lambda M x closest to sigma."""
-    apply_op = build_shift_invert_op(pencil, sigma, backend=backend)
+    apply_op = build_shift_invert_op(pencil, sigma, backend=backend, KM=KM)
     return lanczos(
         pencil,
         nev=nev,
