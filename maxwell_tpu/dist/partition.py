@@ -372,21 +372,55 @@ class DistPencil:
         interior dot has no dataflow edge to the halo collectives; the
         boundary dot gathers only the (2H*b, m) halo section — one exchange
         serves BOTH value streams (K and M share the union layout), halving
-        KM_mm's halo traffic vs the BSR path's two exchanges."""
+        KM_mm's halo traffic vs the BSR path's two exchanges.
+
+        halo_impl="rdma_overlap": interior dot and halo remote-DMAs run in
+        ONE fused Pallas kernel (DMAs start at chunk 0, awaited at the last
+        chunk) — overlap enforced in-kernel, not left to the XLA scheduler
+        (round-2 VERDICT item 7)."""
         from maxwell_tpu.kernels.spmm import bellunion_matmat_pallas
 
         interp = jax.default_backend() == "cpu"
         vec = X.ndim == 1
         Xl = X[:, None] if vec else X
         Ai = self._union_layout(boundary=False)
-        Ys = [
-            bellunion_matmat_pallas(Ai, Xl, interpret=interp, stream=s)
-            for s in streams
-        ]
+        Hb = self.H * self.b
+        overlap = (
+            self.halo_impl == "rdma_overlap"
+            and self.Ub_vals is not None
+            and self.H <= self.L
+        )
+        if overlap:
+            from maxwell_tpu.kernels.halo_rdma import union_interior_overlap
+
+            if streams == ("b",):
+                # single-stream M apply: present the mass stream as primary
+                Ai = dataclasses.replace(Ai, vals=Ai.vals_b, vals_b=None)
+            outs = union_interior_overlap(
+                Ai, Xl, Hb, self.axis, self.D,
+                two_streams=len(streams) == 2, interpret=interp,
+            )
+            Ys, halo = list(outs[:-1]), outs[-1]
+            # ring wrap: zero the chain-end halves
+            d = jax.lax.axis_index(self.axis)
+            mleft = (d > 0).astype(Xl.dtype)
+            mright = (d < self.D - 1).astype(Xl.dtype)
+            rowmask = jnp.concatenate(
+                [jnp.broadcast_to(mleft, (Hb,)),
+                 jnp.broadcast_to(mright, (Hb,))]
+            )[:, None]
+            Xh = halo * rowmask
+        else:
+            Ys = [
+                bellunion_matmat_pallas(Ai, Xl, interpret=interp, stream=s)
+                for s in streams
+            ]
+            Xh = None
         if self.Ub_vals is not None:
-            Xf = self.exchange_halos(Xl)
-            Lb, Hb2 = self.n_local, 2 * self.H * self.b
-            Xh = jax.lax.slice(Xf, (Lb, 0), (Lb + Hb2, Xl.shape[1]))
+            if Xh is None:
+                Xf = self.exchange_halos(Xl)
+                Lb = self.n_local
+                Xh = jax.lax.slice(Xf, (Lb, 0), (Lb + 2 * Hb, Xl.shape[1]))
             Ab = self._union_layout(boundary=True)
             Ys = [
                 y + bellunion_matmat_pallas(Ab, Xh, interpret=interp, stream=s)

@@ -69,6 +69,179 @@ def ring_shift(
     )(X)
 
 
+def _union_overlap_kernel(
+    tile_of_ref, first_ref, *refs,
+    b, m, CG, Hb, axis, ndev, two_streams, barrier,
+):
+    """BELLUnion interior SpMM with the halo remote-DMAs IN FLIGHT: the
+    DMAs start at grid step 0, every step computes one interior chunk dot,
+    and the last step waits — transfer/compute overlap is enforced INSIDE
+    one kernel instead of hoped for from the XLA scheduler (SURVEY.md §7.5
+    hard part 3, round-2 VERDICT item 7)."""
+    if two_streams:
+        (ucols_ref, vals_ref, valsb_ref, x_ref,
+         ya_ref, yb_ref, halo_ref, xg_ref, send_sem, recv_sem) = refs
+    else:
+        (ucols_ref, vals_ref, x_ref,
+         ya_ref, halo_ref, xg_ref, send_sem, recv_sem) = refs
+        valsb_ref = yb_ref = None
+    k = pl.program_id(0)
+    NC = pl.num_programs(0)
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    right = jax.lax.rem(my + jnp.int32(1), jnp.int32(ndev))
+    left = jax.lax.rem(my + jnp.int32(ndev - 1), jnp.int32(ndev))
+    nloc = x_ref.shape[0]
+
+    def _copies():
+        # my LAST Hb rows -> right neighbor's LEFT halo half; my FIRST Hb
+        # rows -> left neighbor's RIGHT halo half (SPMD-symmetric, so my
+        # recv_sem[i] is signalled by the incoming copy of the same i)
+        to_right = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[pl.ds(nloc - Hb, Hb)],
+            dst_ref=halo_ref.at[pl.ds(0, Hb)],
+            send_sem=send_sem.at[0],
+            recv_sem=recv_sem.at[0],
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        to_left = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[pl.ds(0, Hb)],
+            dst_ref=halo_ref.at[pl.ds(Hb, Hb)],
+            send_sem=send_sem.at[1],
+            recv_sem=recv_sem.at[1],
+            device_id=left,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        return to_right, to_left
+
+    @pl.when(k == 0)
+    def _start():
+        if barrier:
+            # neighbors must have entered the kernel (buffers live) before
+            # remote writes land — the guide's local-barrier pattern
+            bsem = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                bsem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_signal(
+                bsem, inc=1, device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_wait(bsem, 2)
+        a, c = _copies()
+        a.start()
+        c.start()
+
+    # ---- interior chunk dot (kernels/spmm._bellunion_kernel) -------------
+    k8 = k % jnp.int32(8)
+    for q in range(CG):
+        xg_ref[pl.ds(q * b, b), :] = x_ref[
+            pl.ds(ucols_ref[k8, q] * jnp.int32(b), b), :
+        ]
+    streams = ((vals_ref, ya_ref), (valsb_ref, yb_ref))[: 1 + two_streams]
+    for vref, oref in streams:
+        d = jnp.dot(
+            vref[:],
+            xg_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        @pl.when(first_ref[k] == jnp.int32(1))
+        def _set(oref=oref, d=d):
+            oref[:] = d
+
+        @pl.when(first_ref[k] == jnp.int32(0))
+        def _acc(oref=oref, d=d):
+            oref[:] += d
+
+    @pl.when(k == NC - 1)
+    def _wait():
+        a, c = _copies()
+        a.wait()
+        c.wait()
+
+
+def union_interior_overlap(
+    A, X: jax.Array, Hb: int, axis: str, ndev: int,
+    two_streams: bool = False, interpret: bool = False,
+    collective_id: int = 2,
+):
+    """Fused interior-BELLUnion-SpMM + halo remote-DMA (inside shard_map).
+
+    X: (n_local, m) own rows. Returns (Y_a[, Y_b], halo) where halo is the
+    (2*Hb, m) [left|right] buffer filled by the neighbors' DMAs — ring-
+    wrapped, so callers must zero the chain ends. The DMAs fly WHILE the
+    interior chunks stream (start at chunk 0, wait at the last chunk)."""
+    n_pad, m = A.n_padded, X.shape[1]
+    b, cl = A.b, A.cl
+    CG = cl // b
+    if X.shape[0] != n_pad:
+        raise ValueError("X must be the local padded row block")
+    kernel = functools.partial(
+        _union_overlap_kernel, b=b, m=m, CG=CG, Hb=Hb, axis=axis,
+        ndev=ndev, two_streams=two_streams,
+        barrier=not interpret,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        jax.ShapeDtypeStruct((2 * Hb, m), jnp.float32),
+    ]
+    y_specs = [
+        pl.BlockSpec(
+            (128, m), lambda k, tof, fst: (tof[k], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    in_specs = [
+        pl.BlockSpec(
+            (8, CG), lambda k, tof, fst: (k // 8, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (128, cl), lambda k, tof, fst: (k, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [A.tile_of, A.first, A.ucols, A.vals]
+    if two_streams:
+        if A.vals_b is None:
+            raise ValueError("second value stream not present")
+        in_specs.append(
+            pl.BlockSpec(
+                (128, cl), lambda k, tof, fst: (k, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(A.vals_b)
+        out_shape.insert(1, jax.ShapeDtypeStruct((n_pad, m), jnp.float32))
+        y_specs.append(y_specs[0])
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # full X
+    args.append(X)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A.n_chunks,),
+        in_specs=in_specs,
+        out_specs=[*y_specs, pl.BlockSpec(memory_space=pltpu.VMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((cl, m), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id
+        ),
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
 def exchange_halos_rdma(
     X: jax.Array, H_rows: int, axis: str, ndev: int, interpret: bool = False
 ):
