@@ -184,6 +184,29 @@ def main():
             )
             details["banded_n_bands"] = len(AB.bands)
             details["banded_x_bytes"] = int(AU.n_padded * m_big * 4)
+
+            # sharded union apply on the mesh-of-1 real chip (round-2
+            # VERDICT item 1 gate: within 10% of the single-chip kernel)
+            log("dist union mesh-of-1...")
+            from maxwell_tpu.dist import make_mesh, partition_problem
+            from maxwell_tpu.solvers.dist_solve import _spmm_mapped
+
+            dp1 = partition_problem(
+                cav, 1, kernel="union", dtype=jnp.float32
+            )
+            mesh1 = make_mesh(1)
+            fmm = _spmm_mapped(mesh1, dp1.partition_specs(), dp1.axis, "K")
+            X1 = jax.random.normal(
+                key, (dp1.D * dp1.L * dp1.b, m), jnp.float32
+            )
+            t_d1 = _timeit_chain(lambda Y: fmm(dp1, Y), X1)
+            record(
+                "dist_union_mesh1", t_d1,
+                dp1.Ui_vals.size * 4 + dp1.Ui_ucols.size * 4
+                + 2 * dp1.D * dp1.L * dp1.b * m * 4,
+            )
+            details["dist_union_vs_single_pct"] = 100.0 * t_un / t_d1
+            del dp1, X1
             del AU, AB, XU, XB
         except Exception as e:  # pragma: no cover - backend dependent
             details["pallas_error"] = repr(e)[:400]
@@ -262,12 +285,21 @@ def main():
         log("  " + json.dumps({k: round(v * 1e3, 3) for k, v in
                                phases.items()}) + " (ms/call)")
 
-        t0 = time.perf_counter()
+        # compile/run split (round-2 VERDICT item 2): the first call pays
+        # jit compilation (+ axon tunnel dispatch); an identical second
+        # call is served from the jit cache, so (t1 - t2, t2) splits the
+        # wall number into (compile_s, solve_s)
         log("lobpcg 12^3 assembled...")
+        t0 = time.perf_counter()
+        res = lobpcg(pencil, nev=5, maxiter=80, tol=2e-6, precond=pc)
+        t_total = time.perf_counter() - t0
+        t0 = time.perf_counter()
         res = lobpcg(pencil, nev=5, maxiter=80, tol=2e-6, precond=pc)
         t_solve = time.perf_counter() - t0
         details["lobpcg_3d_n"] = pencil.n
-        details["lobpcg_3d_time_s"] = t_solve
+        details["lobpcg_3d_time_s"] = t_total
+        details["lobpcg_3d_compile_s"] = t_total - t_solve
+        details["lobpcg_3d_solve_s"] = t_solve
         details["lobpcg_3d_iters"] = int(res.iterations)
         details["lobpcg_3d_max_res"] = float(res.residuals.max())
         details["lobpcg_3d_eigs"] = [float(v) for v in res.eigenvalues]
@@ -293,12 +325,21 @@ def main():
             log(f"lobpcg {g3}^3 stencil...")
             stp3 = StencilPencil3D.build(nx=g3, ny=g3, nz=g3,
                                          dtype=jnp.float32)
-            pc3 = shifted_cg_preconditioner(stp3, alpha=15.0, iters=16)
+            # preconditioner strength from the round-3 sweep
+            # (bench/exp_conv.py): a fixed sweep count loses quality as
+            # kappa(K + alpha M) ~ 1/(alpha h^2) grows with the grid
+            pc3 = shifted_cg_preconditioner(stp3, alpha=15.0, iters=48)
+            kw3 = dict(nev=5, maxiter=120, tol=2e-6, precond=pc3)
             t0 = time.perf_counter()
-            res3 = lobpcg(stp3, nev=5, maxiter=60, tol=2e-6, precond=pc3)
+            res3 = lobpcg(stp3, **kw3)
             t3 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res3 = lobpcg(stp3, **kw3)  # jit-cached: pure run time
+            t3run = time.perf_counter() - t0
             details["lobpcg_64_n"] = int(stp3.n)
             details["lobpcg_64_time_s"] = t3
+            details["lobpcg_64_compile_s"] = t3 - t3run
+            details["lobpcg_64_solve_s"] = t3run
             details["lobpcg_64_iters"] = int(res3.iterations)
             details["lobpcg_64_max_res"] = float(res3.residuals.max())
             eigs3 = [float(v) for v in res3.eigenvalues]
@@ -312,6 +353,28 @@ def main():
             details["lobpcg_64_analytic_rel_err"] = [float(v) for v in rel3]
             if rel3.max() > 0.005:  # h^2 at 64^3 is ~0.03%; 0.5% margin
                 parity_ok = False
+
+            # THE BASELINE metric at scale (round-2 VERDICT item 2):
+            # time-to-1e-8 at 811k DOFs = f32 device solve time + f64
+            # matrix-free CPU refinement warm-started from the f32 block
+            log(f"time_to_1e8 {g3}^3 (refine_f64_pencil)...")
+            from maxwell_tpu.solvers.refine import refine_f64_pencil
+
+            def _build64_f64():
+                return StencilPencil3D.build(
+                    nx=g3, ny=g3, nz=g3, dtype=jnp.float64
+                )
+
+            t0 = time.perf_counter()
+            ref3 = refine_f64_pencil(
+                _build64_f64, res3.eigenvectors, tol=1e-8,
+                precond_alpha=15.0, precond_iters=16,
+            )
+            t_ref3 = time.perf_counter() - t0
+            details["time_to_1e8_64_s"] = t3run + t_ref3
+            details["time_to_1e8_64_refine_s"] = t_ref3
+            details["time_to_1e8_64_converged"] = bool(ref3.converged)
+            details["time_to_1e8_64_max_res"] = float(ref3.residuals.max())
         except Exception as e:  # pragma: no cover
             details["lobpcg_64_error"] = repr(e)[:400]
 

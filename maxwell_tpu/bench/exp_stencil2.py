@@ -46,13 +46,44 @@ def _mk(case, Y, ZM, m):
                 dy = ((t // 3) % 3) - 1
                 acc += (1.0 + t) * x1_ref[0, 1 + dy:1 + dy + Y,
                                           m + dz * m: m + dz * m + ZM]
-        else:  # p3
+        elif case == "p3":
             for t, xr in enumerate((x0_ref, x1_ref, x2_ref)):
                 for s in range(11):
                     dz = (s % 3) - 1
                     dy = ((s // 3) % 3) - 1
                     acc += (1.0 + t + s) * xr[0, 1 + dy:1 + dy + Y,
                                               m + dz * m: m + dz * m + ZM]
+        elif case == "p4":  # dy (sublane) shifts only — 3 distinct reads
+            for t in range(33):
+                dy = (t % 3) - 1
+                acc += (1.0 + t) * x1_ref[0, 1 + dy:1 + dy + Y, m:m + ZM]
+        elif case == "p5":  # dz shifts via hardware lane ROTATE: the pad
+            # lanes at both ends make the cyclic wrap a correct zero fill
+            # (roll requires non-negative shifts: roll by L-s == roll -s)
+            v = x1_ref[0, 1:1 + Y, :]
+            L = ZM + 2 * m
+            vm = pltpu.roll(v, m, axis=1)  # dz = -1
+            vp = pltpu.roll(v, L - m, axis=1)  # dz = +1
+            sls = (vm[:, m:m + ZM], v[:, m:m + ZM], vp[:, m:m + ZM])
+            for t in range(33):
+                acc += (1.0 + t) * sls[t % 3]
+        else:  # p6: full tap pattern, dz via lane roll, dy via sublane roll
+            L = ZM + 2 * m
+            for t, xr in enumerate((x0_ref, x1_ref, x2_ref)):
+                v = xr[0]
+                rolls = {}
+                for dz in (-1, 0, 1):
+                    vz = pltpu.roll(v, (-dz * m) % L, axis=1) if dz else v
+                    for dy in (-1, 0, 1):
+                        vy = (
+                            pltpu.roll(vz, (-dy) % (Y + 2), axis=0)
+                            if dy else vz
+                        )
+                        rolls[(dy, dz)] = vy[1:1 + Y, m:m + ZM]
+                for s in range(11):
+                    dz = (s % 3) - 1
+                    dy = ((s // 3) % 3) - 1
+                    acc += (1.0 + t + s) * rolls[(dy, dz)]
         o_ref[0] = acc
 
     return kern
@@ -75,7 +106,7 @@ def main():
     flops = 2 * 33 * NX * Y * ZM
     res = {"grid": grid, "m": m, "vpu_bound_s": flops / vpu}
 
-    for case in ("p0", "p1", "p2", "p3"):
+    for case in ("p0", "p1", "p2", "p3", "p4", "p5", "p6"):
         kern = _mk(case, Y, ZM, m)
         spec = lambda off: pl.BlockSpec(
             (1, Y + 2, ZM + 2 * m), lambda i: (i + off, 0, 0),
@@ -93,7 +124,7 @@ def main():
         t0 = time.time()
         t = timeit_chain(
             lambda Z: jnp.pad(f(Z, Z, Z), ((2, 0), (2, 0), (2 * m, 0))), X,
-            iters=4,
+            iters=8,
         )
         res[case] = {
             "time_s": t,

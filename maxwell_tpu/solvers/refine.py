@@ -146,25 +146,32 @@ def refine_f64_pencil(
     from maxwell_tpu.solvers.lobpcg import lobpcg
     from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
 
+    prev_x64 = bool(jax.config.jax_enable_x64)
     jax.config.update("jax_enable_x64", True)
     cpu = jax.devices("cpu")[0]
     X = np.asarray(X, dtype=np.float64)
     if X.ndim == 1:
         X = X[:, None]
     nev = X.shape[1]
-    with jax.default_device(cpu):
-        pencil = build_pencil()
-        X0 = (
-            jnp.zeros((pencil.n_padded, nev), pencil.dtype)
-            .at[: pencil.n]
-            .set(jnp.asarray(X[: pencil.n]))
-        )
-        pc = None
-        if precond_alpha is not None:
-            pc = shifted_cg_preconditioner(
-                pencil, alpha=precond_alpha, iters=precond_iters
+    try:
+        with jax.default_device(cpu):
+            pencil = build_pencil()
+            X0 = (
+                jnp.zeros((pencil.n_padded, nev), pencil.dtype)
+                .at[: pencil.n]
+                .set(jnp.asarray(X[: pencil.n]))
             )
-        return lobpcg(
-            pencil, nev=nev, m=nev, maxiter=maxiter, tol=tol,
-            precond=pc, X0=X0,
-        )
+            pc = None
+            if precond_alpha is not None:
+                pc = shifted_cg_preconditioner(
+                    pencil, alpha=precond_alpha, iters=precond_iters
+                )
+            return lobpcg(
+                pencil, nev=nev, m=nev, maxiter=maxiter, tol=tol,
+                precond=pc, X0=X0,
+            )
+    finally:
+        # do not leak x64 into the caller's (TPU) process state: later
+        # Pallas compiles under x64 stage weak-int64 literals that hit the
+        # Mosaic convert recursion (see kernels/spmm._bellunion_kernel)
+        jax.config.update("jax_enable_x64", prev_x64)
