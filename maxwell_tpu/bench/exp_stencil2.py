@@ -12,10 +12,11 @@ inside a Pallas kernel over x-planes of a (66, 66, 528)-shaped field
   p2  33 FMAs with dy sublane + dz lane offsets  (the real tap pattern)
   p3  p2 + three x-planes (dx in {-1,0,1}), 11 taps each = 33
 
-Usage: python -m maxwell_tpu.bench.exp_stencil2 [grid [m]]
+Usage: python -m maxwell_tpu.bench.exp_stencil2 [grid [m [cases...]]]
 """
 import functools
 import json
+import os
 import sys
 import time
 
@@ -106,7 +107,11 @@ def main():
     flops = 2 * 33 * NX * Y * ZM
     res = {"grid": grid, "m": m, "vpu_bound_s": flops / vpu}
 
-    for case in ("p0", "p1", "p2", "p3", "p4", "p5", "p6"):
+    cases = sys.argv[3:] or ["p0", "p1", "p2", "p3", "p4", "p5", "p6"]
+    if os.path.exists("exp_stencil2_results.json"):
+        with open("exp_stencil2_results.json") as fh:
+            res.update(json.load(fh))
+    for case in cases:
         kern = _mk(case, Y, ZM, m)
         spec = lambda off: pl.BlockSpec(
             (1, Y + 2, ZM + 2 * m), lambda i: (i + off, 0, 0),
@@ -133,6 +138,8 @@ def main():
         }
         print(f"{case}: {t*1e6:.0f}us {100*(flops/vpu)/t:.1f}% of VPU bound",
               file=sys.stderr, flush=True)
+        with open("exp_stencil2_results.json", "w") as fh:
+            json.dump(res, fh, indent=2)
 
     print(json.dumps(res))
     with open("exp_stencil2_results.json", "w") as f_:

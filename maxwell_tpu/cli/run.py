@@ -269,11 +269,28 @@ def main(argv=None):
 
             pc = None
             if scfg.get("precond_alpha") is not None:
-                pc = shifted_cg_preconditioner(
-                    pencil,
-                    alpha=scfg["precond_alpha"],
-                    iters=scfg.get("precond_iters", 20),
-                )
+                kind = scfg.get("precond", "auto")
+                if kind in ("auto", "spectral"):
+                    # exact spectral (K + alpha M)^-1 for vacuum-PEC
+                    # stencil pencils: grid-independent iteration count
+                    # (solvers/spectral.py)
+                    try:
+                        from maxwell_tpu.solvers.spectral import (
+                            spectral_preconditioner,
+                        )
+
+                        pc = spectral_preconditioner(
+                            pencil, alpha=scfg["precond_alpha"]
+                        )
+                    except (ValueError, AttributeError):
+                        if kind == "spectral":
+                            raise
+                if pc is None:
+                    pc = shifted_cg_preconditioner(
+                        pencil,
+                        alpha=scfg["precond_alpha"],
+                        iters=scfg.get("precond_iters", 20),
+                    )
             res = lobpcg(
                 pencil,
                 nev=nev,

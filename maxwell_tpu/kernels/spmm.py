@@ -610,3 +610,22 @@ def bsr_matvec_pallas(A: BSRMatrix, x: jax.Array) -> jax.Array:
     lane dimension stays MXU/VPU-aligned; column 0 carries the data."""
     X = jnp.zeros((A.n_padded, 8), jnp.float32).at[:, 0].set(x)
     return bsr_matmat_pallas(A, X)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+def bellunion_matvec_pallas(
+    A, x: jax.Array, interpret: bool = False, stream: str = "a"
+) -> jax.Array:
+    """y = A @ x — the SpMV entry point on the production layout (round-2
+    VERDICT item 6).
+
+    The vector widens to an 8-lane panel (column 0 live) because Mosaic
+    wants a lane-aligned minor dimension. This costs 8x the X/Y stream,
+    but SpMV traffic is DOMINATED by the value stream: on the 24^3
+    curl-curl operator the m=1 X/Y bytes are ~1.6% of the value bytes, so
+    the widening forfeits ~11% of the m=1 roofline — measured against its
+    OWN m=1 roofline in bench.py (spmv_m1)."""
+    X = jnp.zeros((A.n_cols_padded, 8), jnp.float32).at[: x.shape[0], 0].set(x)
+    return bellunion_matmat_pallas(A, X, interpret=interpret, stream=stream)[
+        :, 0
+    ]

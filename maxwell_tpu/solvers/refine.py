@@ -163,9 +163,19 @@ def refine_f64_pencil(
             )
             pc = None
             if precond_alpha is not None:
-                pc = shifted_cg_preconditioner(
-                    pencil, alpha=precond_alpha, iters=precond_iters
-                )
+                try:
+                    # exact spectral solve when the pencil supports it
+                    # (vacuum-PEC taps): ~100x cheaper per application
+                    # than sweeping CG at 64^3-scale (solvers/spectral.py)
+                    from maxwell_tpu.solvers.spectral import (
+                        spectral_preconditioner,
+                    )
+
+                    pc = spectral_preconditioner(pencil, alpha=precond_alpha)
+                except (ValueError, AttributeError):
+                    pc = shifted_cg_preconditioner(
+                        pencil, alpha=precond_alpha, iters=precond_iters
+                    )
             return lobpcg(
                 pencil, nev=nev, m=nev, maxiter=maxiter, tol=tol,
                 precond=pc, X0=X0,
