@@ -152,7 +152,9 @@ def main():
             from maxwell_tpu.sparse.bellunion import BELLUnion
 
             log("bellunion build...")
+            t0 = time.perf_counter()
             AU = BELLUnion.from_csr(cav.K, block=8, dtype=jnp.float32)
+            details["union_build_24_s"] = time.perf_counter() - t0
             XU = jax.random.normal(key, (AU.n_padded, m), jnp.float32)
             log("bellunion...")
             t_un = _timeit_chain(
@@ -223,6 +225,21 @@ def main():
             details["dist_union_vs_single_pct"] = 100.0 * t_un / t_d1
             del dp1, X1
             del AU, AB, XU, XB
+
+            # production-layout host build at 48^3 (round-2 VERDICT item
+            # 9): fully vectorized union build, both value streams,
+            # staged host-side (to_device=False)
+            log("union build 48^3 (host)...")
+            cav48 = PermutedProblem(BrickCavity3D(nx=48, ny=48, nz=48))
+            t0 = time.perf_counter()
+            A48 = BELLUnion.from_csr(
+                cav48.K, block=8, dtype=jnp.float32, B=cav48.M,
+                to_device=False,
+            )
+            details["union_build_48_s"] = time.perf_counter() - t0
+            details["union_build_48_n"] = int(cav48.K.shape[0])
+            details["union_build_48_storedMB"] = A48.nnz_dense * 4 / 1e6
+            del cav48, A48
         except Exception as e:  # pragma: no cover - backend dependent
             details["pallas_error"] = repr(e)[:400]
 

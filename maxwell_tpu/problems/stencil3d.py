@@ -175,6 +175,12 @@ class StencilPencil3D:
     # translation-invariant tap stencil (vacuum + PEC only; see
     # _derive_taps). Static python floats -> lives in pytree aux data.
     taps: tuple | None = None
+    # tap-apply implementation: "xla" (fused shifted slices) or
+    # "pallas"/"pallas_roll" (kernels/stencil_taps.py: fields stream
+    # HBM->VMEM once per x-block, all taps applied VMEM-resident —
+    # round-2 VERDICT item 3). build(taps_impl="auto") picks pallas on
+    # real TPUs.
+    taps_impl: str = "xla"
     # field-coefficient taps (materials / PMC; see _derive_field_taps):
     # meta is static structure (aux), the coefficient grids are traced
     ftaps_meta: tuple | None = None
@@ -188,7 +194,7 @@ class StencilPencil3D:
         ), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
-            self.taps, self.ftaps_meta,
+            self.taps, self.ftaps_meta, self.taps_impl,
         )
 
     @classmethod
@@ -197,9 +203,9 @@ class StencilPencil3D:
             mask, Ke, Me, proj, inv_mu, eps, fastproj, ftaps_K, ftaps_M,
         ) = children
         return cls(
-            mask, Ke, Me, proj, *aux[:-2], inv_mu=inv_mu, eps=eps,
-            fastproj=fastproj, taps=aux[-2], ftaps_meta=aux[-1],
-            ftaps_K=ftaps_K, ftaps_M=ftaps_M,
+            mask, Ke, Me, proj, *aux[:-3], inv_mu=inv_mu, eps=eps,
+            fastproj=fastproj, taps=aux[-3], ftaps_meta=aux[-2],
+            taps_impl=aux[-1], ftaps_K=ftaps_K, ftaps_M=ftaps_M,
         )
 
     @property
@@ -321,6 +327,27 @@ class StencilPencil3D:
         Xl = (X[:, None] if vec else X) * self.mask[:, None]
         m = Xl.shape[1]
         grids = self._to_grids(Xl)
+        if self.taps_impl.startswith("pallas"):
+            from maxwell_tpu.kernels.stencil_taps import stencil_taps_pallas
+
+            outs = stencil_taps_pallas(
+                grids, self.taps, m, want_K=want_K, want_M=want_M,
+                pre_roll=self.taps_impl == "pallas_roll",
+                interpret=jax.default_backend() == "cpu",
+            )
+
+            def pack_p(comp):
+                out = self._from_grids(*comp, m) * self.mask[:, None]
+                return out[:, 0] if vec else out
+
+            k = 0
+            YK = YM = None
+            if want_K:
+                YK = pack_p(outs[k])
+                k += 1
+            if want_M:
+                YM = pack_p(outs[k])
+            return YK, YM
         shapes = [g.shape for g in grids]
         # m minor would leave 128-m lanes idle; lead with m so the (large)
         # z axis rides the lanes and tap shifts are cheap lane rotations
@@ -463,6 +490,7 @@ class StencilPencil3D:
         a=1.0, b=1.0, c=1.0, nx=8, ny=8, nz=8,
         dtype=jnp.float32, block: int = 8,
         eps_r=None, mu_r=None, bc: str = "pec",
+        taps_impl: str = "auto",
     ) -> "StencilPencil3D":
         import scipy.sparse as sp
 
@@ -594,6 +622,18 @@ class StencilPencil3D:
                 np.asarray(Ke, np_dt), np.asarray(Me, np_dt),
                 nx, ny, nz, sK, sM,
             )
+        if taps_impl == "auto":
+            # the Pallas tap kernel on real TPUs (f32 only); XLA fusion on
+            # CPU (interpret mode is for tests, not production CPU runs)
+            taps_impl = (
+                "pallas"
+                if (
+                    jax.devices()[0].platform == "tpu"
+                    and dtype == jnp.float32
+                    and taps is not None
+                )
+                else "xla"
+            )
         return StencilPencil3D(
             mask=jnp.asarray(mask),
             Ke=jnp.asarray(Ke, dtype=dtype),
@@ -607,4 +647,5 @@ class StencilPencil3D:
             fastproj=fastproj,
             taps=taps,
             ftaps_meta=ftaps_meta, ftaps_K=ftaps_K, ftaps_M=ftaps_M,
+            taps_impl=taps_impl,
         )

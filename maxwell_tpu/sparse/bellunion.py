@@ -48,25 +48,33 @@ def _aligned_zeros(shape, dtype):
     backend zero-copy via DLPack (an unaligned 2 GB vals array costs ~15 s
     of plain device_put memcpy; measured round-3).
 
-    Large buffers come from mmap(MAP_POPULATE): demand-zero page faulting
-    on this host runs at ~0.05 GB/s while in-kernel population runs at
-    ~1.5 GB/s (measured round-3) — first touch of a multi-GB vals array
-    would otherwise dominate the whole build."""
-    size = int(np.prod(shape))
-    nbytes = size * np.dtype(dtype).itemsize
-    if nbytes >= 1 << 24:
-        import mmap as _mmap
+    Allocation is calloc-backed (np.zeros): large allocations are
+    untouched virtual zero pages, so only the ~23%-fill pages the block
+    scatter actually writes ever get faulted in. (An earlier
+    mmap(MAP_POPULATE) variant eagerly populated the whole buffer and
+    cost 13.6 s of a 15.8 s 48^3 build — measured round-3.)
 
-        m = _mmap.mmap(
-            -1,
-            nbytes,
-            flags=_mmap.MAP_PRIVATE
-            | _mmap.MAP_ANONYMOUS
-            | _mmap.MAP_POPULATE,
-        )
-        return np.frombuffer(m, dtype=dtype).reshape(shape)
+    Large buffers are additionally PRE-FAULTED by a thread pool:
+    single-threaded page faulting on this host runs at ~0.2-0.4 GB/s
+    (fault servicing is RPC-bound, not CPU-bound) while 8 concurrent
+    touchers reach ~4.4 GB/s — measured round-3; the block scatter then
+    writes into resident pages at memory speed."""
+    size = int(np.prod(shape))
     per = max(64 // np.dtype(dtype).itemsize, 1)
     buf = np.zeros(size + per, dtype)
+    nbytes = buf.nbytes
+    if nbytes >= 1 << 26:
+        from concurrent.futures import ThreadPoolExecutor
+
+        raw = buf.view(np.uint8)
+        k = 8
+        step = -(-nbytes // k)
+
+        def _touch(i):
+            raw[i * step : min((i + 1) * step, nbytes) : 4096] = 0
+
+        with ThreadPoolExecutor(k) as ex:
+            list(ex.map(_touch, range(k)))
     off = (-(buf.ctypes.data // np.dtype(dtype).itemsize)) % per
     return buf[off : off + size].reshape(shape)
 
@@ -244,7 +252,15 @@ class BELLUnion:
         # --- scatter blocks of each stream into its flat chunk array -----
         np_dt = np.dtype(jnp.zeros((), dtype).dtype)
 
-        def _fill(keys, rloc, d):
+        # allocate + pre-fault BOTH value buffers BEFORE any scatter: page
+        # faulting on this host degrades ~10x once a large write pass has
+        # run (measured round-3: 0.5 s -> 5.8 s for the same 1.9 GB
+        # pre-fault after one strided write), so fresh-buffer faults must
+        # all happen first
+        vA = _aligned_zeros((NC * 128, cl), np_dt)
+        vB = None if Bb is None else _aligned_zeros((NC * 128, cl), np_dt)
+
+        def _fill(keys, rloc, d, v):
             """Place each (b, b) block at (chunk*128 + rloc*b, lane_g*b);
             a single flat fancy-index write (no (nblk, b, b) index
             broadcast — the measured hot spot of the old build)."""
@@ -252,7 +268,6 @@ class BELLUnion:
             pos = np.searchsorted(uk, keys) - first_u[tile]
             chunk = chunk0[tile] + pos // CG
             lane_g = pos % CG
-            v = _aligned_zeros((NC * 128, cl), np_dt)
             # view as (chunk, rloc, b, lane_g, b): block writes contiguous
             v6 = v.reshape(NC, R, b, CG, b)
             v6[chunk, rloc, :, lane_g, :] = d
@@ -261,13 +276,13 @@ class BELLUnion:
         dev = _to_jax if to_device else (lambda v: v)
         devs = jnp.asarray if to_device else np.asarray
         return BELLUnion(
-            vals=dev(_fill(kA, rlocA, Ab.data)),
+            vals=dev(_fill(kA, rlocA, Ab.data, vA)),
             ucols=devs(ucols),
             tile_of=devs(tile_of),
             first=devs(first),
             vals_b=None
             if Bb is None
-            else dev(_fill(kB, rlocB, Bb.data)),
+            else dev(_fill(kB, rlocB, Bb.data, vB)),
             n=n,
             n_tiles=n_tiles,
             b=b,
