@@ -623,17 +623,15 @@ class StencilPencil3D:
                 nx, ny, nz, sK, sM,
             )
         if taps_impl == "auto":
-            # the Pallas tap kernel on real TPUs (f32 only); XLA fusion on
-            # CPU (interpret mode is for tests, not production CPU runs)
-            taps_impl = (
-                "pallas"
-                if (
-                    jax.devices()[0].platform == "tpu"
-                    and dtype == jnp.float32
-                    and taps is not None
-                )
-                else "xla"
-            )
+            # MEASURED (round 3, exp_stencil3 on the chip, 64^3 m=8): the
+            # XLA-fused tap apply (1.18 ms) beats the Pallas rolling-window
+            # kernel (3.9 ms plain / 3.86 ms pre-rolled) — Mosaic's
+            # misaligned vector loads cost ~10-15x an aligned FMA pass
+            # (~45 us per distinct shifted full-grid slice; ~99 distinct
+            # slices in the apply), and XLA's fusion generates the better
+            # shifted-window code. The kernel stays available as an
+            # explicit taps_impl for future toolchains.
+            taps_impl = "xla"
         return StencilPencil3D(
             mask=jnp.asarray(mask),
             Ke=jnp.asarray(Ke, dtype=dtype),
