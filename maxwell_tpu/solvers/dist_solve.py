@@ -30,15 +30,24 @@ from maxwell_tpu.solvers.results import EigenResult
 
 from maxwell_tpu.utils.precision import fp32_true
 
+def _spectral_dist_apply(solver, pencil, R):
+    return solver.solve(pencil, R)
+
+
 def _run_local(
-    pencil, X0, maxiter, tol, nev, precond_alpha, precond_iters,
+    pencil, X0, spectral, maxiter, tol, nev, precond_alpha, precond_iters,
     checkpoint_every=0, checkpoint_path=None, prev_iters=0,
 ):
     """Body executed per shard: project the start block, build the local
-    preconditioner, run the shared LOBPCG loop."""
+    preconditioner (exact distributed spectral solve when provided), run
+    the shared LOBPCG loop."""
     X0 = pencil.project(X0)
     precond = None
-    if precond_alpha is not None:
+    if spectral is not None:
+        precond = jax.tree_util.Partial(
+            _spectral_dist_apply, spectral, pencil
+        )
+    elif precond_alpha is not None:
         precond = jax.tree_util.Partial(
             _precond_apply, pencil, precond_alpha, precond_iters
         )
@@ -62,13 +71,20 @@ def lobpcg_dist(
     precond_iters: int = 20,
     checkpoint: str | None = None,
     checkpoint_every: int = 0,
+    precond: str = "auto",
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
     (SURVEY.md §5.4) — the exit-time file stores vectors in the ORIGINAL
     problem ordering (portable across shard counts); checkpoint_every > 0
     additionally writes per-shard in-loop snapshots every k iterations
-    (kill-mid-solve recovery, same shard count)."""
+    (kill-mid-solve recovery, same shard count).
+
+    precond: "auto" uses the EXACT distributed spectral (K + alpha M)^-1
+    (solvers/spectral.DistSpectralShift — grid-independent iterations)
+    when the pencil is a vacuum slab-sharded stencil pencil, else the
+    shifted-CG sweeps; "cg" forces the sweeps; "spectral" requires the
+    spectral path."""
     if m is None:
         m = nev + max(4, nev // 2)
     if key is None:
@@ -95,6 +111,16 @@ def lobpcg_dist(
     if X0 is None:
         X0 = dpencil.make_block(key, m)
 
+    spectral = None
+    if precond != "cg" and precond_alpha is not None:
+        from maxwell_tpu.solvers.spectral import DistSpectralShift
+
+        try:
+            spectral = DistSpectralShift.build(dpencil, precond_alpha)
+        except (ValueError, AttributeError):
+            if precond == "spectral":
+                raise
+
     run = functools.partial(
         _run_local,
         maxiter=maxiter,
@@ -106,14 +132,17 @@ def lobpcg_dist(
         checkpoint_path=checkpoint,
         prev_iters=prev_iters,
     )
+    spec_specs = (
+        None if spectral is None else spectral.partition_specs()
+    )
     mapped = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(dpencil.partition_specs(), P(axis, None)),
+        in_specs=(dpencil.partition_specs(), P(axis, None), spec_specs),
         out_specs=(P(), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
-    theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0)
+    theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0, spectral)
 
     if checkpoint is not None:
         from maxwell_tpu.utils.checkpoint import save_state

@@ -205,6 +205,159 @@ class SpectralShiftSolver:
         return out[:, 0] if vec else out
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistSpectralShift:
+    """(K + alpha*M)^-1 for the SLAB-SHARDED stencil pencil
+    (dist/stencil_dist.DistStencilPencil3D, vacuum PEC) — the distributed
+    LOBPCG preconditioner at pod scale.
+
+    y/z transforms are shard-local (those axes are unsharded). The x
+    transform is a global contraction: each shard contracts its OWN
+    x-planes (ownership-weighted, so replicated interface planes count
+    once) against its rows of the replicated 1D transform matrices, and
+    one psum over the row axis completes the mode grid; the inverse
+    transform back to local planes is then purely local. Comm = one psum
+    of the mode-coefficient volume per application (O(n·m) over ICI) —
+    bought back many times over by the grid-independent iteration count
+    and the removal of the CG-sweep preconditioner's 2-apply-per-sweep
+    cost. All leaves are REPLICATED (1D matrices + sigma vectors).
+
+    Sx_full/Uy.../: sine matrices padded with zero rows at the Dirichlet
+    boundary nodes so local row slices are direct dynamic slices."""
+
+    Sx_full: jax.Array  # (nx+1, nx-1) interior sines, zero boundary rows
+    Sy_full: jax.Array  # (ny+1, ny-1)
+    Sz_full: jax.Array  # (nz+1, nz-1)
+    Ux: jax.Array  # (nx, nx)
+    Uy: jax.Array
+    Uz: jax.Array
+    sigx: jax.Array
+    sigy: jax.Array
+    sigz: jax.Array
+    alpha: float
+    nx: int
+    ny: int
+    nz: int
+    cells: int
+    axis: str = "rows"
+
+    def tree_flatten(self):
+        return (
+            self.Sx_full, self.Sy_full, self.Sz_full,
+            self.Ux, self.Uy, self.Uz,
+            self.sigx, self.sigy, self.sigz,
+        ), (self.alpha, self.nx, self.ny, self.nz, self.cells, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        ch, aux = self.tree_flatten()
+        return self.tree_unflatten(aux, tuple(P() for _ in ch))
+
+    @staticmethod
+    def build(sp, alpha: float, dtype=None):
+        """From a DistStencilPencil3D (vacuum PEC)."""
+        if sp.inv_mu is not None or sp.eps is not None:
+            raise ValueError("distributed spectral solve is vacuum-only")
+        dtype = dtype or sp.dtype
+        hx, hy, hz = sp.ax / sp.nx, sp.by / sp.ny, sp.cz / sp.nz
+        Sx, Ux, sigx = _axis_1d(sp.nx, hx)
+        Sy, Uy, sigy = _axis_1d(sp.ny, hy)
+        Sz, Uz, sigz = _axis_1d(sp.nz, hz)
+
+        def full(S, n):
+            F = np.zeros((n + 1, n - 1))
+            F[1:n] = S
+            return F
+
+        return DistSpectralShift(
+            Sx_full=jnp.asarray(full(Sx, sp.nx), dtype),
+            Sy_full=jnp.asarray(full(Sy, sp.ny), dtype),
+            Sz_full=jnp.asarray(full(Sz, sp.nz), dtype),
+            Ux=jnp.asarray(Ux, dtype), Uy=jnp.asarray(Uy, dtype),
+            Uz=jnp.asarray(Uz, dtype),
+            sigx=jnp.asarray(sigx, dtype), sigy=jnp.asarray(sigy, dtype),
+            sigz=jnp.asarray(sigz, dtype),
+            alpha=float(alpha), nx=sp.nx, ny=sp.ny, nz=sp.nz,
+            cells=sp.cells, axis=sp.axis,
+        )
+
+    # ------------------------------------------------------------------
+    def solve(self, sp, R: jax.Array) -> jax.Array:
+        """Local view (inside shard_map): R (n_loc_pad, m) -> same."""
+        hi = jax.lax.Precision.HIGHEST
+        vec = R.ndim == 1
+        Rl = R[:, None] if vec else R
+        m = Rl.shape[1]
+        c, ny, nz = self.cells, self.ny, self.nz
+        # ownership-weighted so the psum counts interface planes once
+        Rw = Rl * (sp.mask * sp.w_dot)[:, None]
+        ex, ey, ez = sp._to_grids(Rw)
+
+        d = jax.lax.axis_index(self.axis)
+        Uxl = jax.lax.dynamic_slice(
+            self.Ux, (d * c, jnp.int32(0)), (c, self.nx)
+        )
+        Sxl = jax.lax.dynamic_slice(
+            self.Sx_full, (d * c, jnp.int32(0)), (c + 1, self.nx - 1)
+        )
+
+        tr = SpectralShiftSolver._tr3
+        Syi = self.Sy_full[1:ny]  # interior rows (ny-1, ny-1)
+        Szi = self.Sz_full[1:nz]
+        # forward: interior y/z slices, local x rows; psum completes kx
+        rx = jax.lax.psum(
+            tr(ex[:, 1:ny, 1:nz], Uxl, Syi, Szi), self.axis
+        )
+        ry = jax.lax.psum(
+            tr(ey[:, :, 1:nz], Sxl, self.Uy, Szi), self.axis
+        )
+        rz = jax.lax.psum(
+            tr(ez[:, 1:ny, :], Sxl, Syi, self.Uz), self.axis
+        )
+        # rx: (nx, ny-1, nz-1, m) etc — replicated mode grids
+
+        pad = lambda g, px, py, pz: jnp.pad(
+            g, ((px, 0), (py, 0), (pz, 0), (0, 0))
+        )
+        Rx = pad(rx, 0, 1, 1)
+        Ry = pad(ry, 1, 0, 1)
+        Rz = pad(rz, 1, 1, 0)
+        sx_ = self.sigx[:, None, None, None]
+        sy_ = self.sigy[None, :, None, None]
+        sz_ = self.sigz[None, None, :, None]
+        beta = self.alpha + sx_**2 + sy_**2 + sz_**2
+        dot = sx_ * Rx + sy_ * Ry + sz_ * Rz
+        coef = dot / (self.alpha * beta)
+        Hx = (Rx / beta + sx_ * coef)[:, 1:, 1:]
+        Hy = (Ry / beta + sy_ * coef)[1:, :, 1:]
+        Hz = (Rz / beta + sz_ * coef)[1:, 1:, :]
+
+        # inverse: local planes from the replicated mode grids (consistent
+        # on both copies of an interface plane by construction)
+        wx = tr(Hx, Uxl.T, Syi.T, Szi.T)
+        wy = tr(Hy, Sxl.T, self.Uy.T, Szi.T)
+        wz = tr(Hz, Sxl.T, Syi.T, self.Uz.T)
+
+        Yx = jnp.zeros_like(ex).at[:, 1:ny, 1:nz].set(wx)
+        Yy = jnp.zeros_like(ey).at[:, :, 1:nz].set(wy)
+        Yz = jnp.zeros_like(ez).at[:, 1:ny, :].set(wz)
+        out = jnp.concatenate(
+            [Yx.reshape(-1, m), Yy.reshape(-1, m), Yz.reshape(-1, m)],
+            axis=0,
+        )
+        padr = sp.n_loc_pad - sp.n_loc
+        if padr:
+            out = jnp.pad(out, ((0, padr), (0, 0)))
+        out = out * sp.mask[:, None]
+        return out[:, 0] if vec else out
+
+
 def spectral_preconditioner(pencil, alpha: float = 15.0):
     """Exact (K + alpha M)^-1 preconditioner for a vacuum-PEC
     StencilPencil3D (falls back with ValueError otherwise)."""

@@ -86,3 +86,17 @@ def test_dist_lobpcg_union(mesh):
     discrete = np.sort(dense[dense > 1e-8])[:4]
     assert res.converged, f"residuals {res.residuals}"
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-4)
+
+
+def test_mesh_topology_report(mesh):
+    """Hosts-major mesh ordering + link-class report (SURVEY §5.8): on the
+    single-host simulated mesh every neighbor link is ICI; on a real pod
+    the dcn count is (hosts - 1)."""
+    from maxwell_tpu.dist import mesh_topology_report
+
+    rep = mesh_topology_report(mesh)
+    assert rep["devices"] == D
+    assert rep["neighbor_links"] == D - 1
+    assert rep["dcn_links"] == len(rep["dcn_link_positions"])
+    assert rep["ici_links"] + rep["dcn_links"] == D - 1
+    assert rep["hosts"] >= 1
