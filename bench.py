@@ -97,6 +97,31 @@ def main():
     def log(msg):
         print(f"bench: {msg}", file=sys.stderr, flush=True)
 
+    # ---- 0. production-layout host build at 48^3 (round-2 VERDICT item 9)
+    # Measured FIRST: page-fault servicing on this host degrades ~10x once
+    # the process has churned gigabytes (sparse/bellunion._aligned_zeros),
+    # so a mid-bench measurement overstates the build by ~8x.
+    if on_tpu:
+        try:
+            from maxwell_tpu.problems import BrickCavity3D as _B48
+            from maxwell_tpu.sparse.bellunion import BELLUnion as _U48
+            from maxwell_tpu.sparse.reorder import PermutedProblem as _P48
+
+            log("union build 48^3 (host)...")
+            cav48 = _P48(_B48(nx=48, ny=48, nz=48))
+            t0 = time.perf_counter()
+            A48 = _U48.from_csr(
+                cav48.K, block=8, dtype=jnp.float32, B=cav48.M,
+                to_device=False,
+            )
+            details["union_build_48_s"] = time.perf_counter() - t0
+            details["union_build_48_n"] = int(cav48.K.shape[0])
+            details["union_build_48_storedMB"] = A48.nnz_dense * 4 / 1e6
+            log(f"  union_build_48_s: {details['union_build_48_s']:.1f}s")
+            del cav48, A48
+        except Exception as e:  # pragma: no cover
+            details["union_build_error"] = repr(e)[:400]
+
     # ---- 1. HBM copy roofline -------------------------------------------
     nbytes = 256 * 1024 * 1024 if on_tpu else 64 * 1024 * 1024
     big = jnp.ones((nbytes // 4,), jnp.float32)
@@ -225,21 +250,6 @@ def main():
             details["dist_union_vs_single_pct"] = 100.0 * t_un / t_d1
             del dp1, X1
             del AU, AB, XU, XB
-
-            # production-layout host build at 48^3 (round-2 VERDICT item
-            # 9): fully vectorized union build, both value streams,
-            # staged host-side (to_device=False)
-            log("union build 48^3 (host)...")
-            cav48 = PermutedProblem(BrickCavity3D(nx=48, ny=48, nz=48))
-            t0 = time.perf_counter()
-            A48 = BELLUnion.from_csr(
-                cav48.K, block=8, dtype=jnp.float32, B=cav48.M,
-                to_device=False,
-            )
-            details["union_build_48_s"] = time.perf_counter() - t0
-            details["union_build_48_n"] = int(cav48.K.shape[0])
-            details["union_build_48_storedMB"] = A48.nnz_dense * 4 / 1e6
-            del cav48, A48
         except Exception as e:  # pragma: no cover - backend dependent
             details["pallas_error"] = repr(e)[:400]
 
