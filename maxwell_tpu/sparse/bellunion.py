@@ -43,40 +43,88 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _aligned_zeros(shape, dtype):
-    """64-byte-aligned zeros — lets `_to_jax` hand the buffer to the CPU
-    backend zero-copy via DLPack (an unaligned 2 GB vals array costs ~15 s
-    of plain device_put memcpy; measured round-3).
+# ---------------------------------------------------------------------
+# Host buffer arena. First-touch fault servicing on this host costs
+# ~25-50 us per 4 KiB page regardless of access order (RPC-bound
+# sandbox: a 10.5M-element scatter into a fresh 1.9 GB buffer measured
+# 11 s, all faults), and in-kernel MADV_POPULATE_WRITE of genuinely NEW
+# memory still provisions at only ~0.2-0.4 GB/s — but RECYCLED pages
+# repopulate at ~3 GB/s. So, like XLA's device allocator, big host
+# buffers come from a process-lifetime pool: provisioned once (possibly
+# at startup via `warm_arena`), zeroed and reused for every later
+# layout build. A pool entry is free once the array handed out for it
+# has been garbage-collected (tracked by weakref).
+_ARENA: list = []  # [mm, addr, nbytes, weakref-or-None]
 
-    Allocation is calloc-backed (np.zeros): large allocations are
-    untouched virtual zero pages, so only the ~23%-fill pages the block
-    scatter actually writes ever get faulted in. (An earlier
-    mmap(MAP_POPULATE) variant eagerly populated the whole buffer and
-    cost 13.6 s of a 15.8 s 48^3 build — measured round-3.)
 
-    Large buffers are additionally PRE-FAULTED by a thread pool:
-    single-threaded page faulting on this host runs at ~0.2-0.4 GB/s
-    (fault servicing is RPC-bound, not CPU-bound) while 8 concurrent
-    touchers reach ~4.4 GB/s — measured round-3; the block scatter then
-    writes into resident pages at memory speed."""
-    size = int(np.prod(shape))
-    per = max(64 // np.dtype(dtype).itemsize, 1)
-    buf = np.zeros(size + per, dtype)
-    nbytes = buf.nbytes
-    if nbytes >= 1 << 26:
-        from concurrent.futures import ThreadPoolExecutor
+def _madvise(addr, nbytes, advice):
+    import ctypes
 
-        raw = buf.view(np.uint8)
-        k = 8
-        step = -(-nbytes // k)
+    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    return libc.madvise(
+        ctypes.c_void_p(addr), ctypes.c_size_t(nbytes), advice
+    )
 
-        def _touch(i):
-            raw[i * step : min((i + 1) * step, nbytes) : 4096] = 0
+
+def _arena_new(nbytes: int):
+    """mmap + hugepage advise + parallel in-kernel populate."""
+    import ctypes
+    import mmap
+    from concurrent.futures import ThreadPoolExecutor
+
+    mm = mmap.mmap(-1, nbytes)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(mm))
+    try:
+        _madvise(addr, nbytes, 14)  # MADV_HUGEPAGE
+        k = 4
+        step = (-(-nbytes // k)) & ~4095
+
+        def _pop(i):
+            ln = min(step, nbytes - i * step)
+            if ln > 0:
+                # MADV_POPULATE_WRITE (Linux 5.14+)
+                if _madvise(addr + i * step, ln, 23) != 0:
+                    np.frombuffer(mm, np.uint8, ln, i * step)[::4096] = 0
 
         with ThreadPoolExecutor(k) as ex:
-            list(ex.map(_touch, range(k)))
-    off = (-(buf.ctypes.data // np.dtype(dtype).itemsize)) % per
-    return buf[off : off + size].reshape(shape)
+            list(ex.map(_pop, range(k)))
+    except Exception:
+        pass
+    entry = [mm, addr, nbytes, None]
+    _ARENA.append(entry)
+    return entry
+
+
+def warm_arena(nbytes: int, count: int = 1) -> None:
+    """Pre-provision `count` pool buffers of `nbytes` each (one-time OS
+    memory-provisioning cost paid up front, like a device-memory pool)."""
+    for _ in range(count):
+        _arena_new(int(nbytes))
+
+
+def _aligned_zeros(shape, dtype):
+    """Page-aligned zeros from the arena — mmap page alignment satisfies
+    the 64-byte DLPack requirement, so `_to_jax` can hand the buffer to
+    the CPU backend zero-copy."""
+    size = int(np.prod(shape))
+    dt = np.dtype(dtype)
+    nbytes = size * dt.itemsize
+    if nbytes < 1 << 26:
+        return np.zeros(shape, dt)
+    import weakref
+
+    best = None
+    for e in _ARENA:
+        if e[3] is not None and e[3]() is not None:
+            continue  # still in use
+        if e[2] >= nbytes and (best is None or e[2] < best[2]):
+            best = e
+    if best is None:
+        best = _arena_new(nbytes)
+    a = np.frombuffer(best[0], dtype=dt, count=size)
+    a.view(np.uint8)[:] = 0  # recycled pages: memset at memory speed
+    best[3] = weakref.ref(a)
+    return a.reshape(shape)
 
 
 def _to_jax(v: np.ndarray) -> jax.Array:
@@ -180,53 +228,70 @@ class BELLUnion:
 
         Fully vectorized host build (round-2 VERDICT item 9): per-tile
         unions via one global sort of (tile, col) keys, union positions via
-        one global searchsorted — no Python loop over tiles.
+        one global searchsorted — no Python loop over tiles, and no
+        intermediate BSR: CSR scalars scatter straight into the chunk
+        buffer (scipy tobsr was 8.4 s of the old 61 s 48^3 build).
         """
         b = block
         R = 128 // b
         cl = chunk_lanes
         CG = cl // b  # block-columns per chunk
         A = sp.csr_matrix(A)
+        A.sum_duplicates()
         n = A.shape[0]
         n_pad = _round_up(max(n, 1), 128)
         rect = ncols is not None
         nc_pad = _round_up(max(ncols, 1), b) if rect else n_pad
 
-        def _pad_bsr(C):
-            # NOTE: block indices stay UNSORTED within block rows (tobsr
-            # order) — the union build only needs the sorted `uk` keys, and
-            # each block is placed by searchsorted, so sorting the (b, b)
-            # block data (the old build's second-largest cost) is skipped
-            Cp_ = sp.csr_matrix((C.data, C.indices, C.indptr), shape=C.shape)
-            Cp_.resize((n_pad, nc_pad))
-            return Cp_.tobsr(blocksize=(b, b))
-
         nbr = n_pad // b
         ncb = nc_pad // b
         n_tiles = nbr // R
 
-        def _bkeys(Cb):
-            """(tile, block-col) composite keys + block-row locals."""
-            brow = np.repeat(np.arange(nbr), np.diff(Cb.indptr))
-            tile = (brow // R).astype(np.int64)
-            return tile * ncb + Cb.indices, brow % R
+        # int32 index math where the key/flat spaces fit (2x less memory
+        # traffic on this ~3 GB/s host — the build is index-math bound
+        # once the buffer is kernel-populated)
+        it = (
+            np.int32
+            if n_tiles * ncb < 2**31 and nc_pad < 2**31
+            else np.int64
+        )
 
-        Ab = _pad_bsr(A)
-        kA, rlocA = _bkeys(Ab)
+        def _skeys(C):
+            """Per-scalar-nnz (tile, block-col) composite keys + the
+            scalar row index (tile = row // 128 since a tile is exactly
+            128 scalar rows)."""
+            row = np.repeat(
+                np.arange(C.shape[0], dtype=it), np.diff(C.indptr)
+            )
+            key = (row // 128) * it(ncb) + C.indices.astype(it) // b
+            return key, row
+
+        kA, rowA = _skeys(A)
+        same_pattern = False
         if B is not None:
-            Bb = _pad_bsr(sp.csr_matrix(B))
-            kB, rlocB = _bkeys(Bb)
-            # dedup (tile, col) keys — the per-tile union of both streams
-            uk = np.union1d(np.unique(kA), np.unique(kB))
+            Bc = sp.csr_matrix(B)
+            Bc.sum_duplicates()
+            # K and M usually share the exact sparsity (same element
+            # adjacency): reuse K's key/position mapping for M's scatter
+            same_pattern = A.indptr.shape == Bc.indptr.shape and np.array_equal(
+                A.indptr, Bc.indptr
+            ) and np.array_equal(A.indices, Bc.indices)
+            if same_pattern:
+                kB, rowB = kA, rowA
+                uk = np.unique(kA)
+            else:
+                kB, rowB = _skeys(Bc)
+                # dedup (tile, col) keys — per-tile union of both streams
+                uk = np.union1d(np.unique(kA), np.unique(kB))
         else:
-            Bb = None
+            Bc = None
             uk = np.unique(kA)
 
         # every tile needs >= 1 union column (zero-valued col 0 if empty)
         have = np.zeros(n_tiles, dtype=bool)
         have[(uk // ncb)] = True
         if not have.all():
-            synth = np.flatnonzero(~have).astype(np.int64) * ncb
+            synth = np.flatnonzero(~have).astype(it) * it(ncb)
             uk = np.union1d(uk, synth)
         ut = uk // ncb  # tile of each unique (tile, col)
         uc = (uk % ncb).astype(np.int64)  # sorted unique cols per tile
@@ -249,40 +314,52 @@ class BELLUnion:
         first = np.zeros(NC, dtype=np.int32)
         first[chunk0[:-1]] = 1
 
-        # --- scatter blocks of each stream into its flat chunk array -----
-        np_dt = np.dtype(jnp.zeros((), dtype).dtype)
+        # --- scatter scalars of each stream into its flat chunk array ----
+        # np.dtype directly — jnp.zeros here would initialize the jax
+        # backend (10 s of axon client setup measured inside the build)
+        np_dt = np.dtype(dtype)
 
-        # allocate + pre-fault BOTH value buffers BEFORE any scatter: page
-        # faulting on this host degrades ~10x once a large write pass has
-        # run (measured round-3: 0.5 s -> 5.8 s for the same 1.9 GB
-        # pre-fault after one strided write), so fresh-buffer faults must
-        # all happen first
         vA = _aligned_zeros((NC * 128, cl), np_dt)
-        vB = None if Bb is None else _aligned_zeros((NC * 128, cl), np_dt)
+        vB = None if Bc is None else _aligned_zeros((NC * 128, cl), np_dt)
 
-        def _fill(keys, rloc, d, v):
-            """Place each (b, b) block at (chunk*128 + rloc*b, lane_g*b);
-            a single flat fancy-index write (no (nblk, b, b) index
-            broadcast — the measured hot spot of the old build)."""
-            tile = keys // ncb
-            pos = np.searchsorted(uk, keys) - first_u[tile]
-            chunk = chunk0[tile] + pos // CG
-            lane_g = pos % CG
-            # view as (chunk, rloc, b, lane_g, b): block writes contiguous
-            v6 = v.reshape(NC, R, b, CG, b)
-            v6[chunk, rloc, :, lane_g, :] = d
+        ft = np.int32 if NC * 128 * cl < 2**31 else np.int64
+        chunk0_f = chunk0.astype(ft)
+        first_uf = first_u.astype(ft)
+
+        _flat_cache: dict = {}
+
+        def _fill(keys, row, C, v):
+            """One flat fancy-index write per stream: scalar nnz (row,
+            col) lands at chunk row (chunk*128 + row%128), chunk col
+            (lane_g*b + col%b). The flat index vector is cached so the
+            identical-pattern M stream reuses K's."""
+            flat = _flat_cache.get(id(keys))
+            if flat is None:
+                tile = keys // ncb
+                pos = (
+                    np.searchsorted(uk, keys).astype(ft) - first_uf[tile]
+                )
+                flat = (
+                    (chunk0_f[tile] + pos // CG) * ft(128)
+                    + row.astype(ft) % 128
+                ) * ft(cl) + (pos % CG) * ft(b) + C.indices.astype(ft) % b
+                _flat_cache[id(keys)] = flat
+            # pre-cast: a dtype-mismatched fancy store takes numpy's
+            # buffered casting path (~60x slower — measured 12.2 s vs
+            # 0.21 s for the same 10.5M-element scatter)
+            v.reshape(-1)[flat] = C.data.astype(v.dtype, copy=False)
             return v
 
         dev = _to_jax if to_device else (lambda v: v)
         devs = jnp.asarray if to_device else np.asarray
         return BELLUnion(
-            vals=dev(_fill(kA, rlocA, Ab.data, vA)),
+            vals=dev(_fill(kA, rowA, A, vA)),
             ucols=devs(ucols),
             tile_of=devs(tile_of),
             first=devs(first),
             vals_b=None
-            if Bb is None
-            else dev(_fill(kB, rlocB, Bb.data, vB)),
+            if Bc is None
+            else dev(_fill(kB, rowB, Bc, vB)),
             n=n,
             n_tiles=n_tiles,
             b=b,
