@@ -387,7 +387,12 @@ def main():
             )
 
             pc3 = spectral_preconditioner(stp3, alpha=15.0)
-            kw3 = dict(nev=5, maxiter=60, tol=2e-6, precond=pc3)
+            # stall_window: the f32 apply-roundoff floor at 64^3 is
+            # ~1e-4 rel (prop. eps/h^2) — the solve reaches it in ~30
+            # iterations and then bounces; cut there and return the best
+            # iterate, then refine_f64 takes it to 1e-8
+            kw3 = dict(nev=5, maxiter=60, tol=2e-6, precond=pc3,
+                       stall_window=10)
             t0 = time.perf_counter()
             res3 = lobpcg(stp3, **kw3)
             t3 = time.perf_counter() - t0
@@ -442,7 +447,8 @@ def main():
 
         t0 = time.perf_counter()
         log("time_to_1e8...")
-        res32 = lobpcg(pencil, nev=5, maxiter=120, tol=1e-5, precond=pc)
+        res32 = lobpcg(pencil, nev=5, maxiter=120, tol=1e-5, precond=pc,
+                       stall_window=12)
         ref = refine_f64(
             cav2, res32.eigenvectors, theta=res32.eigenvalues, tol=1e-8
         )

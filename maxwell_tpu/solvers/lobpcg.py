@@ -68,7 +68,8 @@ def _emit_progress(it, res_max, theta0):
 @partial(
     jax.jit,
     static_argnames=(
-        "maxiter", "nev", "log_every", "checkpoint_every", "checkpoint_path"
+        "maxiter", "nev", "log_every", "checkpoint_every",
+        "checkpoint_path", "stall_window",
     ),
 )
 def lobpcg_run(
@@ -84,6 +85,7 @@ def lobpcg_run(
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
     prev_iters: int = 0,
+    stall_window: int = 0,
 ):
     """Jit-ed LOBPCG loop. X0: (n_padded, m), already projected off the
     nullspace (zero-padding invariant holds). Convergence is tested on the
@@ -124,6 +126,13 @@ def lobpcg_run(
 
     res0 = jnp.full((m,), jnp.inf, dtype)
     hist = jnp.zeros((maxiter,), dtype)
+    # best-iterate tracking for the f32 floor regime (see lobpcg doc):
+    # (best max-residual, iters since meaningful improvement, best X,
+    # best theta, best per-column residuals)
+    best0 = (
+        jnp.array(jnp.inf, dtype), jnp.array(0, jnp.int32),
+        X, theta, res0,
+    )
 
     def residuals(KX, MX, theta, X):
         R = KX - MX * theta[None, :]
@@ -140,11 +149,14 @@ def lobpcg_run(
         return R, nR / jnp.maximum(scale, 1e-30)
 
     def cond(state):
-        it, X, KX, MX, theta, P, KP, MP, res, hist = state
-        return jnp.logical_and(it < maxiter, jnp.max(res[:nev]) > tol)
+        it, X, KX, MX, theta, P, KP, MP, res, hist, best = state
+        go = jnp.logical_and(it < maxiter, jnp.max(res[:nev]) > tol)
+        if stall_window > 0:
+            go = jnp.logical_and(go, best[1] < stall_window)
+        return go
 
     def body(state):
-        it, X, KX, MX, theta, P, KP, MP, res, hist = state
+        it, X, KX, MX, theta, P, KP, MP, res, hist, best = state
 
         R, _ = residuals(KX, MX, theta, X)
         W = precond(R) if precond is not None else R
@@ -190,6 +202,19 @@ def lobpcg_run(
         # columns) — guard vectors would otherwise dominate the max and
         # contradict the converged report
         hist = hist.at[it].set(jnp.max(res_new[:nev]))
+        # best-iterate update: near the f32 residual floor the iterate
+        # BOUNCES (measured: 1e-5 -> 6e-4 -> 1e-5 at 32^3); keep the best
+        # block seen and count iterations without a >=10% improvement so
+        # the stall cut-off (if enabled) fires at the floor
+        cur = jnp.max(res_new[:nev])
+        improved = cur < 0.9 * best[0]
+        best = (
+            jnp.where(improved, cur, best[0]),
+            jnp.where(improved, 0, best[1] + 1).astype(jnp.int32),
+            jnp.where(improved, X_new, best[2]),
+            jnp.where(improved, theta_new, best[3]),
+            jnp.where(improved, res_new, best[4]),
+        )
         if log_every > 0:
             # live JSON-line progress from inside the compiled loop
             # (SURVEY.md §5.5); host callback fires every log_every iters
@@ -225,12 +250,19 @@ def lobpcg_run(
             MP_new,
             res_new,
             hist,
+            best,
         )
 
-    state = (0, X, KX, MX, theta, P, KP, MP, res0, hist)
-    it, X, KX, MX, theta, P, KP, MP, res, hist = jax.lax.while_loop(
+    state = (0, X, KX, MX, theta, P, KP, MP, res0, hist, best0)
+    it, X, KX, MX, theta, P, KP, MP, res, hist, best = jax.lax.while_loop(
         cond, body, state
     )
+    # return the BEST iterate seen, not the last (they differ in the
+    # floor-bounce regime; identical while converging monotonically)
+    take_best = best[0] < jnp.max(res[:nev])
+    theta = jnp.where(take_best, best[3], theta)
+    X = jnp.where(take_best, best[2], X)
+    res = jnp.where(take_best, best[4], res)
     return theta, X, res, it, hist
 
 
@@ -248,6 +280,7 @@ def lobpcg(
     checkpoint_every: int = 0,
     deflate_Q: jax.Array | None = None,
     log_every: int = 0,
+    stall_window: int = 0,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
@@ -257,6 +290,12 @@ def lobpcg(
     saves the final Ritz block to it (SURVEY.md §5.4).
     deflate_Q: (n, q) previously-converged M-orthonormal eigenvectors to
     hard-deflate; the solve returns the next nev pairs ABOVE them (C12).
+    stall_window: if > 0, stop once `stall_window` consecutive iterations
+    pass without a >=10% improvement of the best residual, and return the
+    BEST iterate seen. This is the f32-floor cut-off: at large grids the
+    f32 apply roundoff floor (prop. to eps*||K||/lambda ~ eps/h^2) sits
+    above any fixed tol, where the iterate bounces instead of converging
+    (measured at 32^3/64^3); the caller then chains into f64 refinement.
     """
     if m is None:
         m = nev + max(4, nev // 2)
@@ -296,6 +335,7 @@ def lobpcg(
         Qlock=Qlock, MQlock=MQlock, log_every=log_every,
         checkpoint_every=checkpoint_every if checkpoint else 0,
         checkpoint_path=checkpoint, prev_iters=prev_iters,
+        stall_window=stall_window,
     )
 
     if checkpoint is not None:
