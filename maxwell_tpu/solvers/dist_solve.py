@@ -35,12 +35,15 @@ def _spectral_dist_apply(solver, pencil, R):
 
 
 def _run_local(
-    pencil, X0, spectral, maxiter, tol, nev, precond_alpha, precond_iters,
-    checkpoint_every=0, checkpoint_path=None, prev_iters=0,
+    pencil, X0, spectral, Qlock, maxiter, tol, nev, precond_alpha,
+    precond_iters, checkpoint_every=0, checkpoint_path=None, prev_iters=0,
 ):
     """Body executed per shard: project the start block, build the local
     preconditioner (exact distributed spectral solve when provided), run
-    the shared LOBPCG loop."""
+    the shared LOBPCG loop. Qlock: optional shard-local rows of previously
+    locked M-orthonormal eigenvectors — hard deflation at pod scale
+    (SURVEY.md §2 C12; round-3 VERDICT item 4). M @ Qlock is recomputed
+    locally (one sharded apply) rather than shipped."""
     X0 = pencil.project(X0)
     precond = None
     if spectral is not None:
@@ -51,8 +54,10 @@ def _run_local(
         precond = jax.tree_util.Partial(
             _precond_apply, pencil, precond_alpha, precond_iters
         )
+    MQlock = None if Qlock is None else pencil.M_mm(Qlock)
     return lobpcg_run(
         pencil, X0, maxiter, tol, precond, nev=nev,
+        Qlock=Qlock, MQlock=MQlock,
         checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
         prev_iters=prev_iters,
     )
@@ -72,6 +77,8 @@ def lobpcg_dist(
     checkpoint: str | None = None,
     checkpoint_every: int = 0,
     precond: str = "auto",
+    deflate_Q: np.ndarray | None = None,
+    batch: int | None = None,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
@@ -82,9 +89,27 @@ def lobpcg_dist(
 
     precond: "auto" uses the EXACT distributed spectral (K + alpha M)^-1
     (solvers/spectral.DistSpectralShift — grid-independent iterations)
-    when the pencil is a vacuum slab-sharded stencil pencil, else the
-    shifted-CG sweeps; "cg" forces the sweeps; "spectral" requires the
-    spectral path."""
+    when the pencil is a vacuum slab-sharded stencil pencil (alpha
+    defaults to 15.0 when precond_alpha is None — round-3 advisor
+    finding: alpha=None must not silently disable "auto"), else the
+    shifted-CG sweeps (those need an explicit precond_alpha); "cg" forces
+    the sweeps; "spectral" requires the spectral path.
+
+    deflate_Q: (n, q) previously-converged eigenvectors in the ORIGINAL
+    problem ordering — hard-deflated, the solve returns the next nev
+    pairs above them (SURVEY.md §2 C12 at distributed scale).
+    batch: if set, solve nev pairs INCREMENTALLY in stages of `batch`,
+    hard-locking each stage's converged block before the next (the
+    reference-class "deflated 20-eigenpair solve" workflow,
+    BASELINE.json:11): later stages iterate a smaller active block, so
+    per-iteration cost drops as pairs lock."""
+    if batch is not None and batch < nev:
+        return _lobpcg_dist_staged(
+            dpencil, mesh, nev=nev, batch=batch, m=m, maxiter=maxiter,
+            tol=tol, key=key, precond_alpha=precond_alpha,
+            precond_iters=precond_iters, precond=precond,
+            deflate_Q=deflate_Q,
+        )
     if m is None:
         m = nev + max(4, nev // 2)
     if key is None:
@@ -112,14 +137,21 @@ def lobpcg_dist(
         X0 = dpencil.make_block(key, m)
 
     spectral = None
-    if precond != "cg" and precond_alpha is not None:
+    if precond != "cg":
         from maxwell_tpu.solvers.spectral import DistSpectralShift
 
+        alpha_eff = 15.0 if precond_alpha is None else precond_alpha
         try:
-            spectral = DistSpectralShift.build(dpencil, precond_alpha)
+            spectral = DistSpectralShift.build(dpencil, alpha_eff)
         except (ValueError, AttributeError):
             if precond == "spectral":
                 raise
+
+    Qfull = None
+    if deflate_Q is not None:
+        Qfull = dpencil.inject_vectors(
+            np.asarray(deflate_Q, dpencil.dtype)
+        )
 
     run = functools.partial(
         _run_local,
@@ -135,14 +167,17 @@ def lobpcg_dist(
     spec_specs = (
         None if spectral is None else spectral.partition_specs()
     )
+    q_spec = None if Qfull is None else P(axis, None)
     mapped = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(dpencil.partition_specs(), P(axis, None), spec_specs),
+        in_specs=(
+            dpencil.partition_specs(), P(axis, None), spec_specs, q_spec,
+        ),
         out_specs=(P(), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
-    theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0, spectral)
+    theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0, spectral, Qfull)
 
     if checkpoint is not None:
         from maxwell_tpu.utils.checkpoint import save_state
@@ -168,6 +203,61 @@ def lobpcg_dist(
         iterations=prev_iters + int(it),
         converged=bool(res.max() <= tol),
         history=history,
+    )
+
+
+def _lobpcg_dist_staged(
+    dpencil, mesh, nev, batch, m, maxiter, tol, key, precond_alpha,
+    precond_iters, precond, deflate_Q,
+):
+    """Incremental deflated multi-eigenpair solve (SURVEY.md §3.3 "lock
+    converged columns"; BASELINE.json:11 "deflated 20-eigenpair solve").
+
+    Stage s solves the next `batch` pairs with every earlier stage's block
+    hard-deflated (Qlock in lobpcg_run freezes them out of the active
+    SpMM/RR entirely), so the active block is `batch + guards` wide instead
+    of `nev + guards` — per-iteration SpMM/RR cost drops as pairs lock.
+    Stages recompile (shapes shrink), a one-time cost amortized by the
+    persistent compilation cache."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    Q = None if deflate_Q is None else np.asarray(deflate_Q)
+    vals, vecs, resids, hist = [], [], [], []
+    iters = 0
+    done = 0
+    stage = 0
+    while done < nev:
+        k = min(batch, nev - done)
+        res = lobpcg_dist(
+            dpencil, mesh, nev=k, m=None if m is None else min(m, k + 4),
+            maxiter=maxiter, tol=tol, key=jax.random.fold_in(key, stage),
+            precond_alpha=precond_alpha, precond_iters=precond_iters,
+            precond=precond, deflate_Q=Q,
+        )
+        vals.append(res.eigenvalues)
+        vecs.append(res.eigenvectors)
+        resids.append(res.residuals)
+        hist.extend(
+            {**h, "iter": iters + h["iter"], "stage": stage}
+            for h in res.history
+        )
+        iters += res.iterations
+        Q = (
+            res.eigenvectors
+            if Q is None
+            else np.concatenate([Q, res.eigenvectors], axis=1)
+        )
+        done += k
+        stage += 1
+    lam = np.concatenate(vals)
+    order = np.argsort(lam)
+    return EigenResult(
+        eigenvalues=lam[order],
+        eigenvectors=np.concatenate(vecs, axis=1)[:, order],
+        residuals=np.concatenate(resids)[order],
+        iterations=iters,
+        converged=bool(np.concatenate(resids).max() <= tol),
+        history=hist,
     )
 
 

@@ -257,12 +257,15 @@ def lobpcg_run(
     it, X, KX, MX, theta, P, KP, MP, res, hist, best = jax.lax.while_loop(
         cond, body, state
     )
-    # return the BEST iterate seen, not the last (they differ in the
-    # floor-bounce regime; identical while converging monotonically)
-    take_best = best[0] < jnp.max(res[:nev])
-    theta = jnp.where(take_best, best[3], theta)
-    X = jnp.where(take_best, best[2], X)
-    res = jnp.where(take_best, best[4], res)
+    # floor-bounce regime (stall_window > 0 opts in): return the BEST
+    # iterate seen, not the last. Gated so plain callers get the final
+    # iterate that matches in-loop checkpoints and iteration metadata
+    # (round-3 advisor finding).
+    if stall_window > 0:
+        take_best = best[0] < jnp.max(res[:nev])
+        theta = jnp.where(take_best, best[3], theta)
+        X = jnp.where(take_best, best[2], X)
+        res = jnp.where(take_best, best[4], res)
     return theta, X, res, it, hist
 
 
@@ -281,6 +284,7 @@ def lobpcg(
     deflate_Q: jax.Array | None = None,
     log_every: int = 0,
     stall_window: int = 0,
+    batch: int | None = None,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
@@ -296,7 +300,52 @@ def lobpcg(
     f32 apply roundoff floor (prop. to eps*||K||/lambda ~ eps/h^2) sits
     above any fixed tol, where the iterate bounces instead of converging
     (measured at 32^3/64^3); the caller then chains into f64 refinement.
+    batch: if set (< nev), solve incrementally in stages of `batch` pairs,
+    hard-locking each stage's block out of the next stage's active
+    SpMM/RR (SURVEY.md §2 C12 "locking"): per-iteration cost drops as
+    pairs lock, at the price of one recompile per stage (amortized by
+    the persistent compilation cache).
     """
+    if batch is not None and batch < nev:
+        Q = deflate_Q
+        vals, vecs, resids, histories = [], [], [], []
+        iters = 0
+        done = 0
+        stage = 0
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        while done < nev:
+            k = min(batch, nev - done)
+            r = lobpcg(
+                pencil, nev=k, m=None, maxiter=maxiter, tol=tol,
+                key=jax.random.fold_in(key, stage), precond=precond,
+                deflate_Q=Q, log_every=log_every,
+                stall_window=stall_window,
+            )
+            vals.append(r.eigenvalues)
+            vecs.append(r.eigenvectors)
+            resids.append(r.residuals)
+            histories.extend(
+                {**h, "iter": iters + h["iter"], "stage": stage}
+                for h in r.history
+            )
+            iters += r.iterations
+            Qn = jnp.asarray(r.eigenvectors, pencil.dtype)
+            Q = Qn if Q is None else jnp.concatenate(
+                [jnp.asarray(Q, pencil.dtype), Qn], axis=1
+            )
+            done += k
+            stage += 1
+        lam = np.concatenate(vals)
+        order = np.argsort(lam)
+        return EigenResult(
+            eigenvalues=lam[order],
+            eigenvectors=np.concatenate(vecs, axis=1)[:, order],
+            residuals=np.concatenate(resids)[order],
+            iterations=iters,
+            converged=bool(np.concatenate(resids).max() <= tol),
+            history=histories,
+        )
     if m is None:
         m = nev + max(4, nev // 2)
     if key is None:

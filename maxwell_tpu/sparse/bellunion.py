@@ -172,11 +172,17 @@ class BELLUnion:
     # column-space size when RECTANGULAR (e.g. a distributed shard's
     # boundary part gathering from the halo buffer); None = square
     n_cols: int | None = None
+    # union columns grouped into ALIGNED runs of `pack` consecutive
+    # block-cols (group g covers block-cols [base, base+pack)): the kernel
+    # gathers one (pack*b, m) X slice per group instead of pack (b, m)
+    # slices — fewer, larger sublane copies at a small fill cost (measured
+    # on the 24^3 RCM operator: pack=2 fill 1.11x, pack=4 fill 1.30x).
+    pack: int = 1
 
     def tree_flatten(self):
         return (
             self.vals, self.ucols, self.tile_of, self.first, self.vals_b,
-        ), (self.n, self.n_tiles, self.b, self.cl, self.n_cols)
+        ), (self.n, self.n_tiles, self.b, self.cl, self.n_cols, self.pack)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -184,7 +190,7 @@ class BELLUnion:
         return cls(
             vals=vals, ucols=ucols, tile_of=tile_of, first=first,
             vals_b=vals_b, n=aux[0], n_tiles=aux[1], b=aux[2], cl=aux[3],
-            n_cols=aux[4],
+            n_cols=aux[4], pack=aux[5] if len(aux) > 5 else 1,
         )
 
     @property
@@ -196,7 +202,7 @@ class BELLUnion:
         """Rows the gathered-from X buffer must have."""
         if self.n_cols is None:
             return self.n_padded
-        return _round_up(max(self.n_cols, 1), self.b)
+        return _round_up(max(self.n_cols, 1), self.b * self.pack)
 
     @property
     def n_chunks(self) -> int:
@@ -218,6 +224,7 @@ class BELLUnion:
         chunk_lanes: int = 512,
         ncols: int | None = None,
         to_device: bool = True,
+        pack: int = 1,
     ) -> "BELLUnion":
         """Build from CSR. With B given, both value streams share the
         union sparsity structure (one layout serves K and M applies).
@@ -225,10 +232,12 @@ class BELLUnion:
         gathered-from X buffer); None keeps the square n_padded layout.
         to_device=False keeps the leaves as host numpy arrays (pure-host
         build timing / staging before an explicit device_put).
+        pack: aligned run width in block-cols (see the dataclass field) —
+        the union unit becomes the pack-aligned GROUP c // pack.
 
         Fully vectorized host build (round-2 VERDICT item 9): per-tile
-        unions via one global sort of (tile, col) keys, union positions via
-        one global searchsorted — no Python loop over tiles, and no
+        unions via one global sort of (tile, group) keys, union positions
+        via one global searchsorted — no Python loop over tiles, and no
         intermediate BSR: CSR scalars scatter straight into the chunk
         buffer (scipy tobsr was 8.4 s of the old 61 s 48^3 build).
         """
@@ -236,15 +245,26 @@ class BELLUnion:
         R = 128 // b
         cl = chunk_lanes
         CG = cl // b  # block-columns per chunk
+        p = pack
+        if CG % p != 0:
+            raise ValueError(f"pack={p} must divide chunk block-cols {CG}")
+        GP = CG // p  # pack groups per chunk
         A = sp.csr_matrix(A)
-        A.sum_duplicates()
+        if not A.has_canonical_format:
+            # canonicalize a COPY: csr_matrix(A) shares data/indices with
+            # the caller and sum_duplicates would mutate them in place
+            # (round-3 advisor finding)
+            A = A.copy()
+            A.sum_duplicates()
         n = A.shape[0]
         n_pad = _round_up(max(n, 1), 128)
         rect = ncols is not None
-        nc_pad = _round_up(max(ncols, 1), b) if rect else n_pad
+        # the (pack*b)-row gather of the last group must stay inside X
+        nc_pad = _round_up(max(ncols, 1), b * p) if rect else n_pad
 
         nbr = n_pad // b
         ncb = nc_pad // b
+        ncbp = -(-ncb // p)  # pack groups across the column space
         n_tiles = nbr // R
 
         # int32 index math where the key/flat spaces fit (2x less memory
@@ -252,25 +272,27 @@ class BELLUnion:
         # once the buffer is kernel-populated)
         it = (
             np.int32
-            if n_tiles * ncb < 2**31 and nc_pad < 2**31
+            if n_tiles * ncbp < 2**31 and nc_pad < 2**31
             else np.int64
         )
 
         def _skeys(C):
-            """Per-scalar-nnz (tile, block-col) composite keys + the
+            """Per-scalar-nnz (tile, pack-group) composite keys + the
             scalar row index (tile = row // 128 since a tile is exactly
             128 scalar rows)."""
             row = np.repeat(
                 np.arange(C.shape[0], dtype=it), np.diff(C.indptr)
             )
-            key = (row // 128) * it(ncb) + C.indices.astype(it) // b
+            key = (row // 128) * it(ncbp) + C.indices.astype(it) // (b * p)
             return key, row
 
         kA, rowA = _skeys(A)
         same_pattern = False
         if B is not None:
             Bc = sp.csr_matrix(B)
-            Bc.sum_duplicates()
+            if not Bc.has_canonical_format:
+                Bc = Bc.copy()
+                Bc.sum_duplicates()
             # K and M usually share the exact sparsity (same element
             # adjacency): reuse K's key/position mapping for M's scatter
             same_pattern = A.indptr.shape == Bc.indptr.shape and np.array_equal(
@@ -281,34 +303,38 @@ class BELLUnion:
                 uk = np.unique(kA)
             else:
                 kB, rowB = _skeys(Bc)
-                # dedup (tile, col) keys — per-tile union of both streams
+                # dedup (tile, group) keys — per-tile union of both streams
                 uk = np.union1d(np.unique(kA), np.unique(kB))
         else:
             Bc = None
             uk = np.unique(kA)
 
-        # every tile needs >= 1 union column (zero-valued col 0 if empty)
+        # every tile needs >= 1 union group (zero-valued group 0 if empty)
         have = np.zeros(n_tiles, dtype=bool)
-        have[(uk // ncb)] = True
+        have[(uk // ncbp)] = True
         if not have.all():
-            synth = np.flatnonzero(~have).astype(it) * it(ncb)
+            synth = np.flatnonzero(~have).astype(it) * it(ncbp)
             uk = np.union1d(uk, synth)
-        ut = uk // ncb  # tile of each unique (tile, col)
-        uc = (uk % ncb).astype(np.int64)  # sorted unique cols per tile
+        ut = uk // ncbp  # tile of each unique (tile, group)
+        ug = (uk % ncbp).astype(np.int64)  # sorted unique groups per tile
         usize = np.bincount(ut, minlength=n_tiles)
         first_u = np.concatenate([[0], np.cumsum(usize)])  # (n_tiles+1,)
 
-        nck = -(-usize // CG)  # chunks per tile
+        nck = -(-usize // GP)  # chunks per tile
         NC = int(nck.sum())
         chunk0 = np.concatenate([[0], np.cumsum(nck)])
 
-        # padded unions: init every slot with the tile's LAST column, then
+        # padded unions: init every slot with the tile's LAST group, then
         # overwrite the live prefix
-        last_uc = uc[first_u[1:] - 1]  # per tile
-        ucols_flat = np.repeat(last_uc, nck * CG)
+        last_ug = ug[first_u[1:] - 1]  # per tile
+        gcols_flat = np.repeat(last_ug, nck * GP)
         pos_u = np.arange(uk.size) - first_u[ut]  # rank within tile union
-        ucols_flat[chunk0[ut] * CG + pos_u] = uc
-        ucols = ucols_flat.reshape(NC, CG).astype(np.int32)
+        gcols_flat[chunk0[ut] * GP + pos_u] = ug
+        # expand groups to per-block-col entries: group g covers
+        # block-cols [g*p, g*p + p)
+        ucols = (
+            gcols_flat.reshape(NC, GP, 1) * p + np.arange(p)
+        ).reshape(NC, CG).astype(np.int32)
 
         tile_of = np.repeat(np.arange(n_tiles, dtype=np.int32), nck)
         first = np.zeros(NC, dtype=np.int32)
@@ -331,18 +357,21 @@ class BELLUnion:
         def _fill(keys, row, C, v):
             """One flat fancy-index write per stream: scalar nnz (row,
             col) lands at chunk row (chunk*128 + row%128), chunk col
-            (lane_g*b + col%b). The flat index vector is cached so the
-            identical-pattern M stream reuses K's."""
+            (group*p*b + (blockcol%p)*b + col%b). The flat index vector is
+            cached so the identical-pattern M stream reuses K's."""
             flat = _flat_cache.get(id(keys))
             if flat is None:
-                tile = keys // ncb
+                tile = keys // ncbp
                 pos = (
                     np.searchsorted(uk, keys).astype(ft) - first_uf[tile]
                 )
+                lane = (pos % GP) * ft(p * b) + (
+                    (C.indices.astype(ft) // b) % p
+                ) * ft(b) + C.indices.astype(ft) % b
                 flat = (
-                    (chunk0_f[tile] + pos // CG) * ft(128)
+                    (chunk0_f[tile] + pos // GP) * ft(128)
                     + row.astype(ft) % 128
-                ) * ft(cl) + (pos % CG) * ft(b) + C.indices.astype(ft) % b
+                ) * ft(cl) + lane
                 _flat_cache[id(keys)] = flat
             # pre-cast: a dtype-mismatched fancy store takes numpy's
             # buffered casting path (~60x slower — measured 12.2 s vs
@@ -365,6 +394,7 @@ class BELLUnion:
             b=b,
             cl=cl,
             n_cols=ncols,
+            pack=p,
         )
 
     def pad_chunks(self, NC: int) -> "BELLUnion":
@@ -409,6 +439,7 @@ class BELLUnion:
             b=self.b,
             cl=self.cl,
             n_cols=self.n_cols,
+            pack=self.pack,
         )
 
     def to_csr(self, stream: str = "a") -> sp.csr_matrix:
@@ -505,6 +536,7 @@ class BELLUnion:
                 n_tiles=t1 - t0,
                 b=b,
                 cl=self.cl,
+                pack=self.pack,
             )
             bands.append((sub, int(c0) * b, int(c1 - c0) * b))
             t0 = t1

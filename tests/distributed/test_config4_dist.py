@@ -91,6 +91,49 @@ def test_dist_lobpcg_20_eigenpairs_2d(mesh):
     np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-6)
 
 
+def test_dist_lobpcg_incremental_locking(mesh):
+    """Round-3 VERDICT item 4: INCREMENTAL deflated multi-eigenpair solve
+    at distributed scale — two stages of 10 with the first stage's block
+    hard-locked (deflate_Q inside the sharded loop) while the second
+    stage iterates a 14-wide active block instead of 26."""
+    cav = RectCavity2D(nx=16, ny=16)
+    dp = partition_problem(cav, D, block=8, dtype=jnp.float64)
+    res = lobpcg_dist(
+        dp, mesh, nev=20, batch=10, maxiter=200, tol=1e-8,
+        precond_alpha=10.0,
+    )
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:20]
+    assert res.converged, f"max res {res.residuals.max():.2e}"
+    np.testing.assert_allclose(res.eigenvalues, discrete, rtol=1e-6)
+    stages = {h.get("stage") for h in res.history}
+    assert stages == {0, 1}, f"expected two locking stages, got {stages}"
+
+
+def test_dist_lobpcg_deflate_Q_continues_spectrum(mesh):
+    """deflate_Q at distributed scale: a second solve above a locked block
+    returns the NEXT eigenvalues, not the locked ones."""
+    cav = RectCavity2D(nx=12, ny=12)
+    dp = partition_problem(cav, D, block=8, dtype=jnp.float64)
+    r1 = lobpcg_dist(
+        dp, mesh, nev=4, maxiter=120, tol=1e-9, precond_alpha=10.0
+    )
+    assert r1.converged
+    r2 = lobpcg_dist(
+        dp, mesh, nev=4, maxiter=120, tol=1e-9, precond_alpha=10.0,
+        deflate_Q=r1.eigenvectors,
+    )
+    assert r2.converged
+    dense = scipy.linalg.eigh(
+        cav.K.toarray(), cav.M.toarray(), eigvals_only=True
+    )
+    discrete = np.sort(dense[dense > 1e-8])[:8]
+    np.testing.assert_allclose(r1.eigenvalues, discrete[:4], rtol=1e-7)
+    np.testing.assert_allclose(r2.eigenvalues, discrete[4:], rtol=1e-7)
+
+
 @pytest.mark.parametrize("dim", ["2d", "3d"])
 def test_halo_checksum_mode(cav3d, mesh, dim):
     """SURVEY.md §5.2 sanitizer analog: fast halo path == gather oracle.
