@@ -97,7 +97,8 @@ def main():
     def log(msg):
         print(f"bench: {msg}", file=sys.stderr, flush=True)
 
-    # ---- 0. production-layout host build at 48^3 (round-2 VERDICT item 9)
+    # ---- 0. production-layout host build at 48^3 (round-2 VERDICT item 9;
+    # round-3 VERDICT item 6: record COLD vs STEADY-STATE honestly).
     # Measured FIRST: page-fault servicing on this host degrades ~10x once
     # the process has churned gigabytes (sparse/bellunion._aligned_zeros),
     # so a mid-bench measurement overstates the build by ~8x.
@@ -105,30 +106,39 @@ def main():
         try:
             from maxwell_tpu.problems import BrickCavity3D as _B48
             from maxwell_tpu.sparse.bellunion import BELLUnion as _U48
+            from maxwell_tpu.sparse.bellunion import arena_stats
             from maxwell_tpu.sparse.reorder import PermutedProblem as _P48
 
             log("union build 48^3 (host)...")
             cav48 = _P48(_B48(nx=48, ny=48, nz=48))
-            # one-time OS memory provisioning for the arena (pool
-            # allocator, like a device-memory pool): this host provisions
-            # NEW anonymous memory at only ~0.2 GB/s, while recycled pool
-            # pages repopulate at ~3 GB/s — reported separately
-            t0 = time.perf_counter()
-            _U48_mod = __import__(
-                "maxwell_tpu.sparse.bellunion", fromlist=["warm_arena"]
-            )
-            _U48_mod.warm_arena(int(1.95e9), 2)
-            details["union_arena_warmup_s"] = time.perf_counter() - t0
-            log(f"  arena warmup: {details['union_arena_warmup_s']:.1f}s")
+            cav48.K, cav48.M  # assemble outside the timing
+
+            # COLD: includes the one-time OS provisioning of the arena
+            # buffers (no magic warm constant — the arena provisions
+            # exactly what the build asks for)
             t0 = time.perf_counter()
             A48 = _U48.from_csr(
                 cav48.K, block=8, dtype=jnp.float32, B=cav48.M,
                 to_device=False,
             )
-            details["union_build_48_s"] = time.perf_counter() - t0
+            details["union_build_48_cold_s"] = time.perf_counter() - t0
             details["union_build_48_n"] = int(cav48.K.shape[0])
             details["union_build_48_storedMB"] = A48.nnz_dense * 4 / 1e6
-            log(f"  union_build_48_s: {details['union_build_48_s']:.1f}s")
+            del A48
+            # STEADY-STATE: arena pages recycled, the regime of every
+            # rebuild after the first in a long-lived process
+            t0 = time.perf_counter()
+            A48 = _U48.from_csr(
+                cav48.K, block=8, dtype=jnp.float32, B=cav48.M,
+                to_device=False,
+            )
+            details["union_build_48_steady_s"] = time.perf_counter() - t0
+            details["union_arena"] = arena_stats()
+            log(
+                f"  union_build_48: cold {details['union_build_48_cold_s']:.1f}s"
+                f" / steady {details['union_build_48_steady_s']:.1f}s"
+                f" ({details['union_build_48_storedMB']:.0f} MB/stream)"
+            )
             del cav48, A48
         except Exception as e:  # pragma: no cover
             details["union_build_error"] = repr(e)[:400]
@@ -299,10 +309,22 @@ def main():
 
     details["paths"] = paths
 
-    # headline: best effective nnz/s across paths, vs ITS OWN roofline
+    # headline (round-3 VERDICT item 7): the PRODUCTION general-matrix
+    # union kernel against its own achievable roofline — the one path
+    # whose denominator is a real HBM stream bound. The tap-stencil rows
+    # stay in details with their (much higher) effective nnz/s; their
+    # "own bytes" roofline is a shifted-load bound XLA already sits at
+    # (BASELINE.md), so headlining them read as 9% of an unachievable
+    # number. Fallback to best-nnz/s when the union path didn't run
+    # (CPU bench).
     best_name = max(paths, key=lambda k: paths[k]["nnz_per_s"])
-    best = paths[best_name]
-    details["headline_path"] = best_name
+    head_name = (
+        "pallas_bellunion" if "pallas_bellunion" in paths else best_name
+    )
+    best = paths[head_name]
+    details["headline_path"] = head_name
+    details["best_nnz_path"] = best_name
+    details["best_nnz_per_s"] = paths[best_name]["nnz_per_s"]
     nnz_per_s = best["nnz_per_s"]
     vs_roofline = best["pct_of_own_roofline"] / 100.0
     details["spmv_nnz_per_s"] = nnz_per_s
@@ -417,29 +439,99 @@ def main():
             if rel3.max() > 0.005:  # h^2 at 64^3 is ~0.03%; 0.5% margin
                 parity_ok = False
 
-            # THE BASELINE metric at scale (round-2 VERDICT item 2):
-            # time-to-1e-8 at 811k DOFs = f32 device solve time + f64
-            # matrix-free CPU refinement warm-started from the f32 block
-            log(f"time_to_1e8 {g3}^3 (refine_f64_pencil)...")
-            from maxwell_tpu.solvers.refine import refine_f64_pencil
-
-            def _build64_f64():
-                return StencilPencil3D.build(
-                    nx=g3, ny=g3, nz=g3, dtype=jnp.float64
-                )
+            # THE BASELINE metric at scale, ON THE CHIP (round-3 VERDICT
+            # item 1): time-to-1e-8 at 811k DOFs = f32 device solve +
+            # double-word device RQI refinement (solvers/refine_device).
+            # Host work inside the refine: one (m, m) f64 eigh.
+            log(f"time_to_1e8 {g3}^3 (device refine_dw)...")
+            from maxwell_tpu.solvers.refine_device import refine_dw
 
             t0 = time.perf_counter()
-            ref3 = refine_f64_pencil(
-                _build64_f64, res3.eigenvectors, tol=1e-8,
-                precond_alpha=15.0, precond_iters=16,
-            )
+            ref3 = refine_dw(stp3, res3.eigenvectors, tol=1e-8)
+            t_ref3_total = time.perf_counter() - t0
+            # compile/run split: second call replays from the jit cache
+            t0 = time.perf_counter()
+            ref3 = refine_dw(stp3, res3.eigenvectors, tol=1e-8)
             t_ref3 = time.perf_counter() - t0
             details["time_to_1e8_64_s"] = t3run + t_ref3
             details["time_to_1e8_64_refine_s"] = t_ref3
+            details["time_to_1e8_64_refine_compile_s"] = (
+                t_ref3_total - t_ref3
+            )
             details["time_to_1e8_64_converged"] = bool(ref3.converged)
             details["time_to_1e8_64_max_res"] = float(ref3.residuals.max())
+            details["time_to_1e8_64_sweeps"] = int(ref3.iterations)
+            log(
+                f"  time_to_1e8_64: {details['time_to_1e8_64_s']:.1f}s "
+                f"(solve {t3run:.1f} + device refine {t_ref3:.1f}; "
+                f"refine compile {details['time_to_1e8_64_refine_compile_s']:.1f}s) "
+                f"res {details['time_to_1e8_64_max_res']:.1e}"
+            )
+
+            # independent host-f64 verification of the refined block
+            # (NOT part of the time-to-1e-8 path — an honesty check that
+            # the dw-claimed residual holds against a separately built
+            # f64 operator on the CPU backend)
+            try:
+                import jax as _jax
+
+                cpu = _jax.devices("cpu")[0]
+                with _jax.default_device(cpu):
+                    stp64 = StencilPencil3D.build(
+                        nx=g3, ny=g3, nz=g3, dtype=jnp.float64
+                    )
+                    Xv = jnp.asarray(ref3.eigenvectors, jnp.float64)
+                    KXv = np.asarray(stp64.K_mm(Xv))
+                    MXv = np.asarray(stp64.M_mm(Xv))
+                thv = ref3.eigenvalues
+                Rv = KXv - MXv * thv[None, :]
+                sc = np.linalg.norm(KXv, axis=0) + np.abs(
+                    thv
+                ) * np.linalg.norm(MXv, axis=0)
+                details["time_to_1e8_64_f64_verified_res"] = float(
+                    (np.linalg.norm(Rv, axis=0) / sc).max()
+                )
+                log(
+                    "  f64-verified residual: "
+                    f"{details['time_to_1e8_64_f64_verified_res']:.1e}"
+                )
+            except Exception as e:  # pragma: no cover
+                details["f64_verify_error"] = repr(e)[:300]
         except Exception as e:  # pragma: no cover
             details["lobpcg_64_error"] = repr(e)[:400]
+
+    # ---- 3b2. distributed LOBPCG on the REAL chip, mesh-of-1 (round-3
+    # VERDICT item 5): the config-4/5 production path measured on hardware
+    if on_tpu:
+        try:
+            from maxwell_tpu.dist import make_mesh
+            from maxwell_tpu.dist.stencil_dist import DistStencilPencil3D
+            from maxwell_tpu.solvers.dist_solve import lobpcg_dist
+
+            log("dist lobpcg 64^3 stencil, mesh-of-1 chip...")
+            mesh1 = make_mesh(1)
+            dsp = DistStencilPencil3D.build(
+                nx=64, ny=64, nz=64, D=1, dtype=jnp.float32
+            )
+            kwd = dict(nev=5, maxiter=40, tol=2e-6, precond="spectral",
+                       precond_alpha=15.0)
+            t0 = time.perf_counter()
+            resd = lobpcg_dist(dsp, mesh1, **kwd)
+            td_total = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            resd = lobpcg_dist(dsp, mesh1, **kwd)
+            td_run = time.perf_counter() - t0
+            details["dist_lobpcg_64_compile_s"] = td_total - td_run
+            details["dist_lobpcg_64_solve_s"] = td_run
+            details["dist_lobpcg_64_iters"] = int(resd.iterations)
+            details["dist_lobpcg_64_max_res"] = float(resd.residuals.max())
+            log(
+                f"  dist_lobpcg_64: compile {td_total - td_run:.1f}s / "
+                f"solve {td_run:.1f}s, res {resd.residuals.max():.1e}"
+            )
+            del dsp, resd
+        except Exception as e:  # pragma: no cover
+            details["dist_lobpcg_64_error"] = repr(e)[:400]
 
     # ---- 3c. time-to-1e-8 residual (THE BASELINE metric) -----------------
     try:

@@ -144,6 +144,15 @@ class DistPencil:
     Ub_first: jax.Array | None = None
     u_cl: int = 512  # interior chunk lanes
     ub_cl: int = 512  # boundary chunk lanes
+    u_pack: int = 1  # aligned-run width of the union layouts
+    ub_pack: int = 1
+    # link classes of the 1-D halo topology (round-3 VERDICT item 8):
+    # positions p where the (p, p+1) neighbor link crosses hosts (DCN).
+    # The halo schedule issues those permutes FIRST so their larger
+    # latency hides under both the ICI permutes and the interior SpMM.
+    # Derived from dist.mesh.mesh_topology_report (or injected
+    # synthetically in tests).
+    dcn_links: tuple = ()
 
     _CHILD_FIELDS = (
         "K_blocks", "K_cols", "K_blocks_bnd", "K_cols_bnd",
@@ -155,7 +164,7 @@ class DistPencil:
     _AUX_FIELDS = (
         "D", "L", "H", "b", "n_nodes", "n", "axis", "kernel",
         "mass_tol", "mass_iters", "proj_tol", "proj_iters", "halo_impl",
-        "u_cl", "ub_cl",
+        "u_cl", "ub_cl", "u_pack", "ub_pack", "dcn_links",
     )
 
     def tree_flatten(self):
@@ -272,6 +281,31 @@ class DistPencil:
                     interpret=jax.default_backend() == "cpu",
                 )
                 out = jnp.concatenate([Xl, left, right, zero], axis=0)
+            elif self.dcn_links:
+                # DCN-aware schedule (round-3 VERDICT item 8): links that
+                # cross hosts get their permutes issued FIRST, so the slow
+                # DCN transfers overlap both the ICI permutes and the
+                # interior SpMM (_local_mm has no dataflow dependence on
+                # any of these). Disjoint target sets -> merging by
+                # addition is exact (non-targets receive zeros).
+                dcn = set(self.dcn_links)
+                rp_d = [(d, d + 1) for d in range(self.D - 1) if d in dcn]
+                lp_d = [(d + 1, d) for d in range(self.D - 1) if d in dcn]
+                rp_i = [(d, d + 1) for d in range(self.D - 1) if d not in dcn]
+                lp_i = [(d + 1, d) for d in range(self.D - 1) if d not in dcn]
+                left_d = jax.lax.ppermute(Xl[-Hb:], self.axis, rp_d)
+                right_d = jax.lax.ppermute(
+                    _after(Xl[:Hb], left_d), self.axis, lp_d
+                )
+                left_i = jax.lax.ppermute(
+                    _after(Xl[-Hb:], right_d), self.axis, rp_i
+                )
+                right_i = jax.lax.ppermute(
+                    _after(Xl[:Hb], left_i), self.axis, lp_i
+                )
+                out = jnp.concatenate(
+                    [Xl, left_d + left_i, right_d + right_i, zero], axis=0
+                )
             else:
                 # fast path: halos reach only the adjacent shard
                 right_perm = [(d, d + 1) for d in range(self.D - 1)]
@@ -359,12 +393,13 @@ class DistPencil:
                 vals=self.Ub_vals, ucols=self.Ub_ucols, tile_of=self.Ub_tile,
                 first=self.Ub_first, vals_b=self.Ub_vals_b,
                 n=Lb, n_tiles=Lb // 128, b=self.b, cl=self.ub_cl,
-                n_cols=2 * self.H * self.b,
+                n_cols=2 * self.H * self.b, pack=self.ub_pack,
             )
         return BELLUnion(
             vals=self.Ui_vals, ucols=self.Ui_ucols, tile_of=self.Ui_tile,
             first=self.Ui_first, vals_b=self.Ui_vals_b,
             n=Lb, n_tiles=Lb // 128, b=self.b, cl=self.u_cl, n_cols=Lb,
+            pack=self.u_pack,
         )
 
     def _union_local_mm(self, X, streams):
@@ -500,6 +535,8 @@ def partition_problem(
     axis: str = "rows",
     reorder: bool = True,
     halo_impl: str = "ppermute",
+    mesh=None,
+    dcn_links: tuple | None = None,
 ) -> DistPencil:
     """Host-side partitioner: problem (RectCavity2D / BrickCavity3D) -> row
     -sharded DistPencil with remapped local column indices.
@@ -507,7 +544,20 @@ def partition_problem(
     reorder=True applies RCM so halos are shallow (SURVEY.md §2 C15); the
     permutation is stored on the returned pencil as `.perm` (host-side
     attribute, not part of the pytree) for eigenvector un-permutation.
+
+    mesh / dcn_links: link classes for the DCN-aware halo schedule —
+    pass the Mesh the pencil will run on (DCN positions derived via
+    mesh_topology_report), or inject positions directly (tests).
     """
+    if dcn_links is None and mesh is not None:
+        from maxwell_tpu.dist.mesh import mesh_topology_report
+
+        dcn_links = tuple(
+            p for p in mesh_topology_report(mesh, axis)[
+                "dcn_link_positions"
+            ] if p < n_shards - 1
+        )
+    dcn_links = tuple(dcn_links or ())
     if block is None:
         # layout study, round-1 log; the union kernel wants lane-aligned b=8
         block = 8 if kernel in ("pallas", "union") else 4
@@ -519,7 +569,7 @@ def partition_problem(
         perm = problem.perm
     if kernel == "union":
         dp = _partition_union(
-            problem, n_shards, block, dtype, axis, halo_impl
+            problem, n_shards, block, dtype, axis, halo_impl, dcn_links
         )
         object.__setattr__(dp, "perm", perm)
         return dp
@@ -649,6 +699,7 @@ def partition_problem(
         axis=axis,
         kernel=kernel,
         halo_impl=halo_impl,
+        dcn_links=dcn_links,
     )
     # host-side metadata (survives on this instance only, not through pytree
     # transforms — used by drivers to un-permute returned eigenvectors)
@@ -670,7 +721,8 @@ def _projector_leaves(problem, n_rows: int, dtype):
     return head, tail, weight, n_nodes
 
 
-def _partition_union(problem, n_shards, block, dtype, axis, halo_impl):
+def _partition_union(problem, n_shards, block, dtype, axis, halo_impl,
+                     dcn_links=()):
     """kernel="union" partitioner (round-2 VERDICT item 1): the PRODUCTION
     BELLUnion kernel on every shard. Per shard, the operator splits into a
     square interior union layout (columns = own rows — overlappable with
@@ -698,11 +750,11 @@ def _partition_union(problem, n_shards, block, dtype, axis, halo_impl):
     Ki, Kb = _shard_int_bnd_csr(Kc, D, Lb, Hb, n_pad)
     Mi, Mb = _shard_int_bnd_csr(Mc, D, Lb, Hb, n_pad)
 
-    def _build(Ks, Ms, ncols, cl):
+    def _build(Ks, Ms, ncols, cl, pack):
         us = [
             BELLUnion.from_csr(
                 Ks[d], block=b, dtype=dtype, B=Ms[d], ncols=ncols,
-                chunk_lanes=cl, to_device=False,
+                chunk_lanes=cl, to_device=False, pack=pack,
             )
             for d in range(D)
         ]
@@ -717,13 +769,18 @@ def _partition_union(problem, n_shards, block, dtype, axis, halo_impl):
             cat(lambda u: u.first),
         )
 
-    u_cl = min(512, max(128, _round_up(Lb, 128)))
-    Ui = _build(Ki, Mi, Lb, u_cl)
+    # pack=2 @ cl=1024: the round-4 production layout (bench/exp_union2:
+    # 85% of own roofline vs 63% for cl=512/pack=1 on the 24^3 operator)
+    u_cl = min(1024, max(128, _round_up(Lb, 128)))
+    u_pack = 2 if (u_cl // b) % 2 == 0 else 1
+    Ui = _build(Ki, Mi, Lb, u_cl, u_pack)
     ub_cl = 512
+    ub_pack = 1
     Ub = (None,) * 5
     if Hb:
-        ub_cl = min(512, max(128, _round_up(2 * Hb, 128)))
-        Ub = _build(Kb, Mb, 2 * Hb, ub_cl)
+        ub_cl = min(1024, max(128, _round_up(2 * Hb, 128)))
+        ub_pack = 2 if (ub_cl // b) % 2 == 0 else 1
+        Ub = _build(Kb, Mb, 2 * Hb, ub_cl, ub_pack)
 
     head, tail, weight, n_nodes = _projector_leaves(problem, n_pad, dtype)
     return DistPencil(
@@ -738,5 +795,6 @@ def _partition_union(problem, n_shards, block, dtype, axis, halo_impl):
         Ui_first=Ui[4],
         Ub_vals=Ub[0], Ub_vals_b=Ub[1], Ub_ucols=Ub[2], Ub_tile=Ub[3],
         Ub_first=Ub[4],
-        u_cl=u_cl, ub_cl=ub_cl,
+        u_cl=u_cl, ub_cl=ub_cl, u_pack=u_pack, ub_pack=ub_pack,
+        dcn_links=dcn_links,
     )

@@ -198,8 +198,8 @@ def bsr_matmat_pallas_windowed(
 
 
 def _bellunion_kernel(
-    tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref, xg_ref,
-    *, b, m, CG
+    tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref,
+    *, b, m, CG, pack
 ):
     # int literals as EXPLICIT int32 consts: with jax_enable_x64 on, a bare
     # python literal stages a weak-int64 constant whose int64->int32
@@ -209,17 +209,22 @@ def _bellunion_kernel(
     k = pl.program_id(0)
     k8 = k % jnp.int32(8)
 
-    # FULLY unrolled gather: a Mosaic rolled loop costs ~100 ns/iteration
-    # (measured: cl=256 rolled-by-8 ran no faster than cl=128 unrolled),
-    # while the unrolled slices stay ~1 ns/vreg (bench/exp_gather.py).
-    # Compile time grows with CG but is paid once per shape.
-    for q in range(CG):
-        xg_ref[pl.ds(q * b, b), :] = x_ref[
-            pl.ds(ucols_ref[k8, q] * jnp.int32(b), b), :
-        ]
+    # FULLY unrolled gather of one (pack*b, m) slice per ALIGNED RUN
+    # (sparse/bellunion.py pack field): measured on the 24^3 RCM operator
+    # (bench/exp_union2.py, round 4), pack=2 @ cl=1024 runs at 714 us =
+    # ~85% of its own roofline vs 754 us / 63% for the round-3
+    # scratch-buffer per-column kernel — fewer, larger sublane copies and
+    # a value concatenate instead of a VMEM scratch round-trip. A Mosaic
+    # rolled loop remains ~100 ns/iteration (exp_gather.py), so the
+    # unroll stays.
+    parts = [
+        x_ref[pl.ds(ucols_ref[k8, g * pack] * jnp.int32(b), pack * b), :]
+        for g in range(CG // pack)
+    ]
+    xg = jnp.concatenate(parts, axis=0)
     d = jnp.dot(
         vals_ref[:],
-        xg_ref[:],
+        xg,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -255,7 +260,9 @@ def bellunion_matmat_pallas(
     if X.shape[0] < need:
         Xp = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
 
-    kernel = functools.partial(_bellunion_kernel, b=b, m=m, CG=CG)
+    kernel = functools.partial(
+        _bellunion_kernel, b=b, m=m, CG=CG, pack=A.pack
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_of, first
         grid=(A.n_chunks,),
@@ -275,7 +282,6 @@ def bellunion_matmat_pallas(
             (128, m), lambda k, tof, fst: (tof[k], 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((cl, m), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,

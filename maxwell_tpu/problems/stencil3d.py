@@ -75,6 +75,29 @@ def _derive_taps(Ke, Me):
     return tuple(taps)
 
 
+def _derive_taps_dw(Ke64, Me64):
+    """Double-word tap coefficients from the FULL-f64 element matrices:
+    each tap coefficient c is carried as an (hi, lo) f32 pair with
+    hi + lo == c to f64 accuracy — the f32-cast taps alone would floor the
+    double-word apply at ~1e-7 relative operator error (round-3 VERDICT
+    item 1: the on-device road to 1e-8 needs the operator itself accurate
+    beyond f32). Static python floats -> pytree aux data, like `taps`."""
+    taps64 = _derive_taps(np.asarray(Ke64, np.float64),
+                          np.asarray(Me64, np.float64))
+
+    def split(c):
+        hi = np.float32(c)
+        return float(hi), float(np.float32(c - float(hi)))
+
+    out = []
+    for comp in taps64:
+        entries = []
+        for beta, d, cK, cM in comp:
+            entries.append((beta, d, split(cK), split(cM)))
+        out.append(tuple(entries))
+    return tuple(out)
+
+
 def _derive_field_taps(Ke, Me, nx, ny, nz, scaleK, scaleM):
     """Position-dependent tap stencil: the fast path for LOADED cavities and
     PMC walls (round-1 VERDICT item 9).
@@ -186,6 +209,9 @@ class StencilPencil3D:
     ftaps_meta: tuple | None = None
     ftaps_K: tuple | None = None
     ftaps_M: tuple | None = None
+    # double-word (hi, lo f32) tap coefficients for the on-device
+    # high-precision apply (see _derive_taps_dw / KM_mm_dw)
+    taps_dw: tuple | None = None
 
     def tree_flatten(self):
         return (
@@ -194,7 +220,7 @@ class StencilPencil3D:
         ), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
-            self.taps, self.ftaps_meta, self.taps_impl,
+            self.taps, self.ftaps_meta, self.taps_impl, self.taps_dw,
         )
 
     @classmethod
@@ -203,9 +229,10 @@ class StencilPencil3D:
             mask, Ke, Me, proj, inv_mu, eps, fastproj, ftaps_K, ftaps_M,
         ) = children
         return cls(
-            mask, Ke, Me, proj, *aux[:-3], inv_mu=inv_mu, eps=eps,
-            fastproj=fastproj, taps=aux[-3], ftaps_meta=aux[-2],
-            taps_impl=aux[-1], ftaps_K=ftaps_K, ftaps_M=ftaps_M,
+            mask, Ke, Me, proj, *aux[:-4], inv_mu=inv_mu, eps=eps,
+            fastproj=fastproj, taps=aux[-4], ftaps_meta=aux[-3],
+            taps_impl=aux[-2], taps_dw=aux[-1], ftaps_K=ftaps_K,
+            ftaps_M=ftaps_M,
         )
 
     @property
@@ -384,6 +411,77 @@ class StencilPencil3D:
             Ys = [jnp.moveaxis(Y, 0, -1) for Y in Ys]
             out = self._from_grids(*Ys, m) * self.mask[:, None]
             return out[:, 0] if vec else out
+
+        return (
+            pack(outK) if want_K else None,
+            pack(outM) if want_M else None,
+        )
+
+    # --- double-word tap apply (on-device 1e-8 path) ------------------------
+    def KM_mm_dw(self, Xh, Xl, want_K=True, want_M=True):
+        """(K @ X, M @ X) in DOUBLE-WORD f32 arithmetic: X carried as the
+        unevaluated pair Xh + Xl, tap coefficients as f64-accurate (hi, lo)
+        pairs, accumulation via error-free transforms (utils/twofloat) —
+        the resulting operator apply is accurate to ~1e-13 relative, the
+        foundation of the on-device RQI refinement to 1e-8 (round-3
+        VERDICT item 1). Same shifted-slice structure as _taps_apply;
+        ~17x the flops of the f32 apply, still VPU elementwise.
+
+        Broadcast discipline (see utils/twofloat caution): coefficients
+        are 0-d python floats and theta-style factors ride the leading
+        axis — only bit-exact broadcast classes appear here.
+
+        Returns ((YKh, YKl) or None, (YMh, YMl) or None).
+        """
+        from maxwell_tpu.utils import twofloat as tf
+
+        if self.taps_dw is None:
+            raise ValueError("KM_mm_dw needs the vacuum-PEC tap pencil")
+        mk = self.mask[:, None]
+        Xh = Xh * mk
+        Xl = Xl * mk  # mask is 0/1: exact on both words
+        m = Xh.shape[1]
+        gh = self._to_grids(Xh)
+        gl = self._to_grids(Xl)
+        shapes = [g.shape for g in gh]
+        # m-leading layout, zero-padded by 1 on each grid axis (same
+        # rationale as _taps_apply: shifts become cheap lane moves)
+        padg = lambda g: jnp.pad(
+            jnp.moveaxis(g, -1, 0), ((0, 0), (1, 1), (1, 1), (1, 1))
+        )
+        Ph = [padg(g) for g in gh]
+        Pl = [padg(g) for g in gl]
+        outK, outM = [], []
+        for alpha in range(3):
+            s = shapes[alpha]
+            z = jnp.zeros((m,) + tuple(s[:-1]), Xh.dtype)
+            aKh, aKl, aMh, aMl = z, z, z, z
+            for beta, (dx, dy, dz), (cKh, cKl), (cMh, cMl) in self.taps_dw[
+                alpha
+            ]:
+                w = (
+                    slice(None),
+                    slice(1 + dx, 1 + dx + s[0]),
+                    slice(1 + dy, 1 + dy + s[1]),
+                    slice(1 + dz, 1 + dz + s[2]),
+                )
+                sh, sl = Ph[beta][w], Pl[beta][w]
+                if want_K and (cKh != 0.0 or cKl != 0.0):
+                    th, tl = tf.dw_mul(sh, sl, cKh, cKl)
+                    aKh, aKl = tf.dw_add(aKh, aKl, th, tl)
+                if want_M and (cMh != 0.0 or cMl != 0.0):
+                    th, tl = tf.dw_mul(sh, sl, cMh, cMl)
+                    aMh, aMl = tf.dw_add(aMh, aMl, th, tl)
+            outK.append((aKh, aKl))
+            outM.append((aMh, aMl))
+
+        def pack(pairs):
+            Yh = [jnp.moveaxis(p[0], 0, -1) for p in pairs]
+            Yl = [jnp.moveaxis(p[1], 0, -1) for p in pairs]
+            return (
+                self._from_grids(*Yh, m) * mk,
+                self._from_grids(*Yl, m) * mk,
+            )
 
         return (
             pack(outK) if want_K else None,
@@ -608,6 +706,8 @@ class StencilPencil3D:
             if (eps_r is None and mu_r is None and bc == "pec")
             else None
         )
+        # f64-accurate double-word taps for the on-device 1e-8 path
+        taps_dw = _derive_taps_dw(Ke, Me) if taps is not None else None
         # loaded cavities / PMC keep a (field-coefficient) fast path too
         # (round-1 VERDICT item 9)
         ftaps_meta = ftaps_K = ftaps_M = None
@@ -644,6 +744,7 @@ class StencilPencil3D:
             eps=None if eps_r is None else jnp.asarray(eps_r, dtype=dtype),
             fastproj=fastproj,
             taps=taps,
+            taps_dw=taps_dw,
             ftaps_meta=ftaps_meta, ftaps_K=ftaps_K, ftaps_M=ftaps_M,
             taps_impl=taps_impl,
         )

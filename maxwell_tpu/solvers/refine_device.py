@@ -1,0 +1,177 @@
+"""ON-DEVICE high-precision eigenpair refinement to 1e-8 (round-3 VERDICT
+item 1: 86% of the BASELINE time-to-1e-8 metric ran in scipy on the host;
+this module puts the road to 1e-8 on the chip).
+
+Method: Rayleigh-quotient iteration in DOUBLE-WORD f32 arithmetic
+(utils/twofloat: ~2^-48 unit roundoff on the VPU) with the EXACT spectral
+shift solve as the inner solver (solvers/spectral.solve_sigma):
+
+    per sweep, per column j (all fused over the block):
+      theta_j = (x K x)/(x M x)          double-word Rayleigh quotient
+      r_j     = K x - theta_j M x        double-word residual (the f32
+                                         apply floors at ~1e-7 rel; the
+                                         dw apply at ~1e-13)
+      sigma_j = theta_j (1 - 3e-3)
+      x_j    <- x_j - (K - sigma_j M)^-1 r_j     f32 solve, dw update
+
+The update form x - S(r) equals the classical RQI direction
+(theta - sigma) (K - sigma M)^-1 M x expressed as a SMALL correction, so
+an f32-accurate solve suffices: the error it injects is ~1e-7*|r|, giving
+per-sweep contraction ~max(1e-7, (theta-sigma)/gap) — two to three sweeps
+from the f32 floor (~1e-3) to below 1e-8. The gradient nullspace needs no
+explicit projection here: gradients are pencil eigenvectors at lambda=0,
+far from sigma ~= theta > 0, so each sweep CONTRACTS their component by
+(theta-sigma)/(0-sigma) ~= -1e-4 like any far mode.
+
+Degenerate clusters (the cavity spectrum is full of them) are re-separated
+by a final block Rayleigh-Ritz: double-word Gram matrices, f64 host eigh
+of the (m, m) pencil (the only host work — microseconds), double-word
+basis rotation on device.
+
+Everything heavy is jitted on the accelerator; the host touches (m,)-sized
+residual norms per sweep and one (m, m) eigh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxwell_tpu.solvers.results import EigenResult
+from maxwell_tpu.utils import twofloat as tf
+
+
+def _dw_div_cols(nh, nl, dh, dl):
+    """Per-column dw division (m,)/(m,): Newton-refined quotient."""
+    q1 = nh / dh
+    ph, pl = tf.dw_mul(q1, jnp.zeros_like(q1), dh, dl)
+    rh, rl = tf.dw_add(nh, nl, -ph, -pl)
+    q2 = (rh + rl) / dh
+    return tf.fast_two_sum(q1, q2)
+
+
+def _rq_and_residual(pencil, Xh, Xl):
+    """theta (dw), scaled residual norms, and R (dw) for the block."""
+    (KXh, KXl), (MXh, MXl) = pencil.KM_mm_dw(Xh, Xl)
+    numh, numl = tf.dw_dot_cols(Xh, Xl, KXh, KXl)
+    denh, denl = tf.dw_dot_cols(Xh, Xl, MXh, MXl)
+    th, tl = _dw_div_cols(numh, numl, denh, denl)
+    # R = KX - theta*MX; theta broadcasts on the MAJOR axis (bit-exact
+    # class — utils/twofloat caution note)
+    tMh, tMl = tf.dw_mul(MXh, MXl, th[None, :], tl[None, :])
+    Rh, Rl = tf.dw_add(KXh, KXl, -tMh, -tMl)
+    # norms from the hi words (residuals >> 1e-30: hi carries them fully)
+    nR = jnp.linalg.norm(Rh, axis=0)
+    nK = jnp.linalg.norm(KXh, axis=0)
+    nM = jnp.linalg.norm(MXh, axis=0)
+    res = nR / jnp.maximum(nK + jnp.abs(th) * nM, 1e-30)
+    return th, tl, res, Rh, Rl
+
+
+@partial(jax.jit, static_argnames=("sigma_rel",))
+def _sweep(pencil, sol, Xh, Xl, sigma_rel: float = 3e-3):
+    th, tl, res, Rh, Rl = _rq_and_residual(pencil, Xh, Xl)
+    sigma = th * jnp.float32(1.0 - sigma_rel)
+    # f32 correction solve; R's low words are ~1e-7 of R — below what the
+    # f32 solve resolves, so the hi word alone is the right-hand side
+    W = sol.solve_sigma(Rh, sigma)
+    W = W * pencil.mask[:, None]
+    Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
+    # NO per-element renormalization here: dividing each word by an f32
+    # norm injects ~1e-7 per-element direction noise (it is NOT a uniform
+    # scale after rounding) — exactly the error this module exists to
+    # avoid. Corrections are O(residual), so column norms drift by <1%
+    # over all sweeps; the final Rayleigh-Ritz restores M-orthonormality.
+    return Xh2, Xl2, th, tl, res
+
+
+@jax.jit
+def _grams(pencil, Xh, Xl):
+    (KXh, KXl), (MXh, MXl) = pencil.KM_mm_dw(Xh, Xl)
+    Ah, Al = tf.dw_gram(Xh, Xl, KXh, KXl)
+    Bh, Bl = tf.dw_gram(Xh, Xl, MXh, MXl)
+    return Ah, Al, Bh, Bl
+
+
+@jax.jit
+def _rotate(Xh, Xl, Ch, Cl):
+    return tf.dw_matmul_small(Xh, Xl, Ch, Cl)
+
+
+@jax.jit
+def _final_residual(pencil, Xh, Xl):
+    th, tl, res, _, _ = _rq_and_residual(pencil, Xh, Xl)
+    return th, tl, res
+
+
+def refine_dw(
+    pencil,
+    X,
+    tol: float = 1e-8,
+    max_sweeps: int = 6,
+    sigma_rel: float = 3e-3,
+) -> EigenResult:
+    """Refine approximate eigenvectors X (n, m) of the vacuum-PEC stencil
+    pencil to `tol` relative residual ON THE DEVICE (see module doc).
+
+    X: f32 block from the f32 LOBPCG (residuals ~1e-3..1e-5). The result's
+    eigenvectors/eigenvalues are reconstructed f64 (hi + lo fetched as f32
+    pairs — exact through the truncating transfer path)."""
+    from maxwell_tpu.solvers.spectral import SpectralShiftSolver
+
+    if getattr(pencil, "taps_dw", None) is None:
+        raise ValueError("refine_dw needs the vacuum-PEC tap pencil")
+    sol = SpectralShiftSolver.build(
+        pencil.a, pencil.b, pencil.c, pencil.nx, pencil.ny, pencil.nz,
+        alpha=0.0, n_padded=pencil.n_padded, dtype=pencil.dtype,
+    )
+    X = np.asarray(X, np.float32)
+    if X.ndim == 1:
+        X = X[:, None]
+    m = X.shape[1]
+    Xh = jnp.zeros((pencil.n_padded, m), jnp.float32)
+    Xh = Xh.at[: X.shape[0]].set(jnp.asarray(X))
+    Xl = jnp.zeros_like(Xh)
+
+    hist = []
+    res = None
+    for sweep in range(max_sweeps):
+        Xh, Xl, th, tl, res = _sweep(
+            pencil, sol, Xh, Xl, sigma_rel=sigma_rel
+        )
+        r = np.asarray(res)
+        # `res` is the PRE-update residual: sweep k reports the block
+        # BEFORE its correction, so convergence lags one sweep behind
+        hist.append({"iter": sweep, "max_rel_res": float(r.max())})
+        if r.max() <= tol * 0.3:
+            break
+
+    # final Rayleigh-Ritz: separate degenerate clusters, f64-exact on the
+    # (m, m) pencil; rotation applied in dw on device
+    Ah, Al, Bh, Bl = _grams(pencil, Xh, Xl)
+    A = tf.dw_to_f64(np.asarray(Ah), np.asarray(Al))
+    B = tf.dw_to_f64(np.asarray(Bh), np.asarray(Bl))
+    import scipy.linalg
+
+    theta64, C = scipy.linalg.eigh(
+        0.5 * (A + A.T), 0.5 * (B + B.T)
+    )
+    Ch, Cl = tf.dw_from_f64(C)
+    Xh, Xl = _rotate(Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl))
+
+    th, tl, res = _final_residual(pencil, Xh, Xl)
+    theta = tf.dw_to_f64(np.asarray(th), np.asarray(tl))
+    res = np.asarray(res)
+    hist.append({"iter": len(hist), "max_rel_res": float(res.max())})
+    Xout = tf.dw_to_f64(np.asarray(Xh), np.asarray(Xl))[: pencil.n]
+    return EigenResult(
+        eigenvalues=theta,
+        eigenvectors=Xout,
+        residuals=res,
+        iterations=len(hist),
+        converged=bool(res.max() <= tol),
+        history=hist,
+    )

@@ -149,6 +149,19 @@ class SpectralShiftSolver:
         """(K + alpha M)^-1 R, R (n_padded, m) flat stencil layout.
         Rows outside the PEC-interior tensor structure (masked boundary
         edges, padding) pass through as zeros."""
+        return self._solve_alpha(R, self.alpha)
+
+    def solve_sigma(self, R: jax.Array, sigma: jax.Array) -> jax.Array:
+        """(K - sigma_j M)^-1 R[:, j] per column — the exact shift-invert
+        solve at PER-COLUMN shifts (round-3 VERDICT item 1: device RQI).
+        sigma (m,) must avoid the symbol eigenvalues |sig|^2 exactly; RQI
+        shifts sigma = theta*(1 - 1e-4) sit ~1e-4*theta away from the
+        target mode, so the near-singular denominator is ~1e-4*theta —
+        large amplification ONLY along the target eigendirection, which is
+        precisely the inverse-iteration contraction."""
+        return self._solve_alpha(R, -sigma[None, None, None, :])
+
+    def _solve_alpha(self, R: jax.Array, alpha) -> jax.Array:
         vec = R.ndim == 1
         Rl = R[:, None] if vec else R
         m = Rl.shape[1]
@@ -177,9 +190,9 @@ class SpectralShiftSolver:
         sx_ = self.sigx[:, None, None, None]
         sy_ = self.sigy[None, :, None, None]
         sz_ = self.sigz[None, None, :, None]
-        beta = self.alpha + sx_**2 + sy_**2 + sz_**2
+        beta = alpha + sx_**2 + sy_**2 + sz_**2
         dot = sx_ * Rx + sy_ * Ry + sz_ * Rz
-        coef = dot / (self.alpha * beta)
+        coef = dot / (alpha * beta)
         Hx = Rx / beta + sx_ * coef
         Hy = Ry / beta + sy_ * coef
         Hz = Rz / beta + sz_ * coef

@@ -47,14 +47,31 @@ def _round_up(x: int, m: int) -> int:
 # Host buffer arena. First-touch fault servicing on this host costs
 # ~25-50 us per 4 KiB page regardless of access order (RPC-bound
 # sandbox: a 10.5M-element scatter into a fresh 1.9 GB buffer measured
-# 11 s, all faults), and in-kernel MADV_POPULATE_WRITE of genuinely NEW
-# memory still provisions at only ~0.2-0.4 GB/s — but RECYCLED pages
-# repopulate at ~3 GB/s. So, like XLA's device allocator, big host
-# buffers come from a process-lifetime pool: provisioned once (possibly
-# at startup via `warm_arena`), zeroed and reused for every later
-# layout build. A pool entry is free once the array handed out for it
-# has been garbage-collected (tracked by weakref).
+# 11 s, all faults); RECYCLED pages repopulate at ~3 GB/s. So, like
+# XLA's device allocator, big host buffers come from a process-lifetime
+# pool: provisioned once, zeroed and reused for every later layout
+# build. A pool entry is free once the array handed out for it has been
+# garbage-collected (tracked by weakref).
+#
+# Provisioning (round-4 remeasure): MADV_HUGEPAGE actively HURTS here —
+# THP never materializes (AnonHugePages stays 0) and populate drops to
+# ~0.5 GB/s with the advise vs ~1.6 GB/s without; 8-way threaded
+# MADV_POPULATE_WRITE reaches ~2.7 GB/s (kernel-bound, scales past the
+# 2 cores). So: no hugepage advise, 8 populate threads.
+#
+# Growth control (round-3 advisor, medium): the pool is CAPPED
+# (MAXWELL_TPU_ARENA_CAP bytes, default 8 GiB). When a new entry would
+# exceed the cap, free entries are evicted (their mmaps unmapped, memory
+# returned to the OS) largest-first until it fits.
 _ARENA: list = []  # [mm, addr, nbytes, weakref-or-None]
+_ARENA_STATS = {"provisioned_bytes": 0, "misses": 0, "reuses": 0,
+                "evictions": 0}
+
+
+def arena_stats() -> dict:
+    """Counters for benchmarking honesty: how much the current process
+    provisioned cold vs reused (bench.py records these)."""
+    return dict(_ARENA_STATS)
 
 
 def _madvise(addr, nbytes, advice):
@@ -66,17 +83,46 @@ def _madvise(addr, nbytes, advice):
     )
 
 
+def _arena_cap() -> int:
+    import os
+
+    return int(
+        os.environ.get("MAXWELL_TPU_ARENA_CAP", 8 * 1024**3)
+    )
+
+
+def _arena_evict_for(nbytes: int) -> None:
+    total = sum(e[2] for e in _ARENA)
+    if total + nbytes <= _arena_cap():
+        return
+    free = sorted(
+        (e for e in _ARENA if e[3] is None or e[3]() is None),
+        key=lambda e: -e[2],
+    )
+    for e in free:
+        try:
+            e[0].close()
+        except Exception:
+            continue
+        _ARENA.remove(e)
+        _ARENA_STATS["evictions"] += 1
+        total -= e[2]
+        if total + nbytes <= _arena_cap():
+            break
+
+
 def _arena_new(nbytes: int):
-    """mmap + hugepage advise + parallel in-kernel populate."""
+    """mmap + parallel in-kernel populate (no hugepage advise — see the
+    module note)."""
     import ctypes
     import mmap
     from concurrent.futures import ThreadPoolExecutor
 
+    _arena_evict_for(nbytes)
     mm = mmap.mmap(-1, nbytes)
     addr = ctypes.addressof(ctypes.c_char.from_buffer(mm))
     try:
-        _madvise(addr, nbytes, 14)  # MADV_HUGEPAGE
-        k = 4
+        k = 8
         step = (-(-nbytes // k)) & ~4095
 
         def _pop(i):
@@ -92,6 +138,8 @@ def _arena_new(nbytes: int):
         pass
     entry = [mm, addr, nbytes, None]
     _ARENA.append(entry)
+    _ARENA_STATS["provisioned_bytes"] += nbytes
+    _ARENA_STATS["misses"] += 1
     return entry
 
 
@@ -121,6 +169,8 @@ def _aligned_zeros(shape, dtype):
             best = e
     if best is None:
         best = _arena_new(nbytes)
+    else:
+        _ARENA_STATS["reuses"] += 1
     a = np.frombuffer(best[0], dtype=dt, count=size)
     a.view(np.uint8)[:] = 0  # recycled pages: memset at memory speed
     best[3] = weakref.ref(a)
@@ -163,10 +213,13 @@ class BELLUnion:
     n: int
     n_tiles: int
     b: int = 8
-    # chunk width in lanes. 512 (64 block-cols ~ half a mean tile union)
-    # amortizes the measured ~300 ns fixed per-chunk cost (dot setup +
-    # output read-modify-write) that 128-lane chunks pay 8x per tile:
-    # 29.5% -> ~70% of roofline on the 24^3 operator.
+    # chunk width in lanes. PRODUCTION (round 4, bench/exp_union2.py on
+    # the chip): cl=1024 + pack=2 — one chunk covers the mean 123-col
+    # tile union, so the per-chunk fixed cost (dot setup + output RMW)
+    # is paid ~once per tile and the accumulate path nearly vanishes:
+    # 714 us / ~85% of own roofline vs 754 us / 63% for the round-3
+    # cl=512 per-column-gather kernel on the 24^3 operator. cl=512
+    # remains the fallback for callers that want the smaller VMEM tile.
     cl: int = 512
     vals_b: jax.Array | None = None
     # column-space size when RECTANGULAR (e.g. a distributed shard's
@@ -221,10 +274,10 @@ class BELLUnion:
         block: int = 8,
         dtype=jnp.float32,
         B: sp.spmatrix | None = None,
-        chunk_lanes: int = 512,
+        chunk_lanes: int = 1024,
         ncols: int | None = None,
         to_device: bool = True,
-        pack: int = 1,
+        pack: int = 2,
     ) -> "BELLUnion":
         """Build from CSR. With B given, both value streams share the
         union sparsity structure (one layout serves K and M applies).

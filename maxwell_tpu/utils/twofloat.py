@@ -146,6 +146,14 @@ def dw_sum(h, l, axis=0):
     return h[0], l[0]
 
 
+# CAUTION — broadcast orientation: XLA:CPU's fused codegen miscompiles
+# the error-free transformations when an operand broadcasts along the
+# MINOR (last) axis ((n,1)*(n,m) or (n,1)*(1,m): the e-term comes back
+# ~f32-rounded; measured, round 4). Same-shape, scalar, and MAJOR-axis
+# ((1,m)*(n,m)) broadcasts are bit-exact. Every op below therefore
+# arranges its broadcasts along the major axis only; keep it that way.
+
+
 def dw_dot_cols(xh, xl, yh, yl):
     """Per-column dot of (n, m) dw blocks: returns (m,) dw pair."""
     ph, pl = dw_mul(xh, xl, yh, yl)
@@ -154,27 +162,36 @@ def dw_dot_cols(xh, xl, yh, yl):
 
 def dw_gram(xh, xl, yh, yl):
     """X^T Y for (n, m) dw blocks -> (m, m) dw pair. Loops the m columns
-    of Y (m is small: the eigenpair block), each a vectorized dw pass."""
+    of Y (m is small: the eigenpair block), each a vectorized dw pass with
+    the column broadcast on the MAJOR axis (see caution above)."""
     m = yh.shape[1]
+    xh_t, xl_t = xh.T, xl.T  # (m, n)
     cols_h, cols_l = [], []
     for j in range(m):
-        gh, gl = dw_dot_cols(xh, xl, yh[:, j : j + 1], yl[:, j : j + 1])
+        ph, pl = dw_mul(
+            xh_t, xl_t, yh[:, j][None, :], yl[:, j][None, :]
+        )  # (m, n) * (1, n)
+        gh, gl = dw_sum(ph, pl, axis=1)
         cols_h.append(gh)
         cols_l.append(gl)
     return jnp.stack(cols_h, axis=1), jnp.stack(cols_l, axis=1)
 
 
 def dw_matmul_small(xh, xl, ch, cl):
-    """(n, m) dw block @ (m, k) dw matrix -> (n, k) dw. Unrolled over the
-    small contraction axis with dw accumulation (exact basis rotations:
-    X <- X C must not destroy the low words)."""
+    """(n, m) dw block @ (m, k) dw matrix -> (n, k) dw. Unrolled over BOTH
+    small axes with dw accumulation (exact basis rotations: X <- X C must
+    not destroy the low words): each term is a 0-d scalar times a column —
+    the one broadcast class that is bit-exact on every backend (see
+    caution above). m*k passes over n rows; m, k are the (small) block
+    widths, so this stays a tiny fraction of one operator apply."""
     m, k = ch.shape
-    oh = jnp.zeros((xh.shape[0], k), xh.dtype)
-    ol = jnp.zeros_like(oh)
-    for j in range(m):
-        th, tl = dw_mul(
-            xh[:, j : j + 1], xl[:, j : j + 1],
-            ch[j : j + 1, :], cl[j : j + 1, :],
-        )
-        oh, ol = dw_add(oh, ol, th, tl)
-    return oh, ol
+    cols_h, cols_l = [], []
+    for jj in range(k):
+        oh = jnp.zeros((xh.shape[0],), xh.dtype)
+        ol = jnp.zeros_like(oh)
+        for j in range(m):
+            th, tl = dw_mul(xh[:, j], xl[:, j], ch[j, jj], cl[j, jj])
+            oh, ol = dw_add(oh, ol, th, tl)
+        cols_h.append(oh)
+        cols_l.append(ol)
+    return jnp.stack(cols_h, axis=1), jnp.stack(cols_l, axis=1)
