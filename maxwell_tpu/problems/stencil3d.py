@@ -212,6 +212,11 @@ class StencilPencil3D:
     # double-word (hi, lo f32) tap coefficients for the on-device
     # high-precision apply (see _derive_taps_dw / KM_mm_dw)
     taps_dw: tuple | None = None
+    # boundary condition ("pec" | "pmc"): the spectral solver's interior
+    # sine/cosine tensor basis is valid for PEC only — loaded (eps/mu)
+    # PEC pencils may use the VACUUM spectral solve as an approximate
+    # preconditioner, PMC may not
+    bc: str = "pec"
 
     def tree_flatten(self):
         return (
@@ -221,6 +226,7 @@ class StencilPencil3D:
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
             self.taps, self.ftaps_meta, self.taps_impl, self.taps_dw,
+            self.bc,
         )
 
     @classmethod
@@ -229,10 +235,10 @@ class StencilPencil3D:
             mask, Ke, Me, proj, inv_mu, eps, fastproj, ftaps_K, ftaps_M,
         ) = children
         return cls(
-            mask, Ke, Me, proj, *aux[:-4], inv_mu=inv_mu, eps=eps,
-            fastproj=fastproj, taps=aux[-4], ftaps_meta=aux[-3],
-            taps_impl=aux[-2], taps_dw=aux[-1], ftaps_K=ftaps_K,
-            ftaps_M=ftaps_M,
+            mask, Ke, Me, proj, *aux[:-5], inv_mu=inv_mu, eps=eps,
+            fastproj=fastproj, taps=aux[-5], ftaps_meta=aux[-4],
+            taps_impl=aux[-3], taps_dw=aux[-2], bc=aux[-1],
+            ftaps_K=ftaps_K, ftaps_M=ftaps_M,
         )
 
     @property
@@ -747,4 +753,5 @@ class StencilPencil3D:
             taps_dw=taps_dw,
             ftaps_meta=ftaps_meta, ftaps_K=ftaps_K, ftaps_M=ftaps_M,
             taps_impl=taps_impl,
+            bc=bc,
         )
