@@ -309,7 +309,19 @@ def main(argv=None):
     t_refine = None
     if want_refine and res.eigenvectors is not None:
         t0 = time.perf_counter()
-        if use_stencil:
+        if (
+            use_stencil
+            and getattr(locals().get("pencil"), "taps_dw", None) is not None
+        ):
+            # ON-DEVICE double-word RQI refinement (round-3 VERDICT item
+            # 1): vacuum-PEC 3D stencil pencils refine to 1e-8 on the
+            # accelerator (solvers/refine_device.py) — the host touches
+            # one (m, m) eigh. Orders of magnitude faster than the f64
+            # host polish it replaces.
+            from maxwell_tpu.solvers.refine_device import refine_dw
+
+            ref = refine_dw(pencil, res.eigenvectors, tol=full_tol)
+        elif use_stencil:
             # matrix-free polish: rebuild the SAME stencil pencil at f64 on
             # CPU and continue LOBPCG from the f32 block — never assembles K
             # (VERDICT.md round-1 item 3; BASELINE "time-to-1e-8")
