@@ -500,6 +500,46 @@ def main():
         except Exception as e:  # pragma: no cover
             details["lobpcg_64_error"] = repr(e)[:400]
 
+    # ---- 3b1. loaded-cavity (dielectric) solve at 32^3 (round-3 VERDICT
+    # item 9): vacuum spectral solve as the approximate preconditioner
+    if on_tpu:
+        try:
+            from maxwell_tpu.problems.stencil3d import StencilPencil3D
+            from maxwell_tpu.solvers.spectral import (
+                spectral_preconditioner,
+            )
+
+            log("dielectric 32^3 (approx spectral precond)...")
+            gd = 32
+            epsr = np.ones((gd, gd, gd))
+            epsr[: gd // 2] = 2.5  # half-filled dielectric
+            std = StencilPencil3D.build(
+                nx=gd, ny=gd, nz=gd, dtype=jnp.float32, eps_r=epsr
+            )
+            pcd = spectral_preconditioner(std, alpha=12.0)
+            kwde = dict(nev=4, maxiter=120, tol=2e-6, precond=pcd,
+                        stall_window=12)
+            t0 = time.perf_counter()
+            resde = lobpcg(std, **kwde)
+            tde = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            resde = lobpcg(std, **kwde)
+            tde_run = time.perf_counter() - t0
+            details["dielectric_32_compile_s"] = tde - tde_run
+            details["dielectric_32_solve_s"] = tde_run
+            details["dielectric_32_iters"] = int(resde.iterations)
+            details["dielectric_32_max_res"] = float(resde.residuals.max())
+            details["dielectric_32_eigs"] = [
+                float(v) for v in resde.eigenvalues
+            ]
+            log(
+                f"  dielectric_32: {resde.iterations} iters, solve "
+                f"{tde_run:.1f}s, res {resde.residuals.max():.1e}"
+            )
+            del std, resde
+        except Exception as e:  # pragma: no cover
+            details["dielectric_32_error"] = repr(e)[:400]
+
     # ---- 3b2. distributed LOBPCG on the REAL chip, mesh-of-1 (round-3
     # VERDICT item 5): the config-4/5 production path measured on hardware
     if on_tpu:
@@ -528,6 +568,19 @@ def main():
             log(
                 f"  dist_lobpcg_64: compile {td_total - td_run:.1f}s / "
                 f"solve {td_run:.1f}s, res {resd.residuals.max():.1e}"
+            )
+            # analytic multi-host weak-scaling prediction seeded with the
+            # CHIP-measured per-iteration time (bench/comm_model.py) —
+            # the >=70% gate cannot be run on one chip, but its expected
+            # value and dominant comm term are now on the record
+            from maxwell_tpu.bench.comm_model import CommModel
+
+            cmv = CommModel(
+                ny=64, nz=64, cells=64, m=5 + 4,
+                t_compute_iter_s=td_run / max(resd.iterations, 1),
+            )
+            details["predicted_weak_scaling"] = cmv.report(
+                sizes=(1, 2, 4, 8, 16)
             )
             del dsp, resd
         except Exception as e:  # pragma: no cover

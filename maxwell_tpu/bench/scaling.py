@@ -104,6 +104,23 @@ def run(mode: str = "weak", cells: int = 8, ny: int = 16, nz: int = 16,
             "hosts": topo["hosts"],
         })
         print(json.dumps(rows[-1]), flush=True)
+    # analytic ICI/DCN prediction for the >=70% multi-host gate
+    # (bench/comm_model.py): seeded with the MEASURED per-iteration solve
+    # time of the smallest mesh (compute-dominated there)
+    predicted = None
+    if mode == "weak" and rows:
+        from maxwell_tpu.bench.comm_model import CommModel
+
+        r0 = rows[0]
+        t_iter = r0["t_solve_s"] / max(r0["solve_iters"], 1)
+        cm = CommModel(
+            ny=ny, nz=nz, cells=cells, m=nev + max(4, nev // 2),
+            t_compute_iter_s=t_iter,
+        )
+        sizes_pred = sorted(
+            {r["devices"] for r in rows} | {8, 16, 32, 64}
+        )
+        predicted = cm.report(sizes=tuple(sizes_pred))
     report = {
         "mode": mode,
         "simulated": simulated,
@@ -111,6 +128,7 @@ def run(mode: str = "weak", cells: int = 8, ny: int = 16, nz: int = 16,
         "workload": "DistStencilPencil3D LOBPCG (slab-sharded, "
                     "assembly-free taps)",
         "rows": rows,
+        "predicted_weak_scaling": predicted,
     }
     print(json.dumps(report, indent=1))
     with open("scaling_results.json", "w") as f:
