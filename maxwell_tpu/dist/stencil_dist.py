@@ -70,11 +70,22 @@ class DistStencilPencil3D:
     mass_iters: int = 300
     proj_tol: float = 1e-10
     proj_iters: int = 150
+    # EXACT distributed nodal Poisson solve for the gradient projector
+    # (vacuum only; round-4): tensor eigentransforms of L = G^T M G, the
+    # x-transform completed by one psum — same structure as the spectral
+    # preconditioner. Replaces the ~150-iteration nodal CG that dominated
+    # per-iteration cost at 64^3 (measured ~10 s/iteration on-chip; the
+    # long-running program tripped the axon worker's watchdog).
+    fpVx_full: jax.Array | None = None  # (nx+1, nx-1), zero boundary rows
+    fpVy: jax.Array | None = None  # (ny-1, ny-1)
+    fpVz: jax.Array | None = None
+    fp_inv_lam: jax.Array | None = None  # (nx-1, ny-1, nz-1)
 
     def tree_flatten(self):
         ch = (
             self.mask, self.w_dot, self.Ke, self.Me, self.head, self.tail,
             self.gweight, self.node_mask, self.node_w, self.inv_mu, self.eps,
+            self.fpVx_full, self.fpVy, self.fpVz, self.fp_inv_lam,
         )
         aux = (
             self.ax, self.by, self.cz, self.nx, self.ny, self.nz,
@@ -86,7 +97,13 @@ class DistStencilPencil3D:
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, *aux)
+        # children carry the four fp* leaves at the END (appended in round
+        # 4), but the dataclass declares them after the defaulted aux
+        # fields — assign by keyword, not position
+        return cls(
+            *ch[:11], *aux,
+            fpVx_full=ch[11], fpVy=ch[12], fpVz=ch[13], fp_inv_lam=ch[14],
+        )
 
     def partition_specs(self):
         from jax.sharding import PartitionSpec as P
@@ -97,6 +114,10 @@ class DistStencilPencil3D:
             gweight=row, node_mask=row, node_w=row,
             inv_mu=None if self.inv_mu is None else row,
             eps=None if self.eps is None else row,
+            fpVx_full=None if self.fpVx_full is None else rep,
+            fpVy=None if self.fpVy is None else rep,
+            fpVz=None if self.fpVz is None else rep,
+            fp_inv_lam=None if self.fp_inv_lam is None else rep,
             ax=self.ax, by=self.by, cz=self.cz, nx=self.nx, ny=self.ny,
             nz=self.nz, cells=self.cells, D=self.D, n_loc=self.n_loc,
             n_loc_pad=self.n_loc_pad, nn_loc=self.nn_loc, axis=self.axis,
@@ -313,19 +334,52 @@ class DistStencilPencil3D:
         out = out * self.node_mask[:, None]
         return out[:, 0] if y.ndim == 1 else out
 
+    def _fast_nodal_solve(self, r):
+        """EXACT q = (G^T M G)^-1 r on the slab-sharded interior-node grid
+        (vacuum): per-axis generalized-hat eigentransforms; the x-axis
+        contraction is ownership-weighted and completed by one psum (the
+        mode grid is then replicated, so the inverse transform is purely
+        local and interface-consistent by construction)."""
+        c, ny, nz = self.cells, self.ny, self.nz
+        m = r.shape[1]
+        G = (r * self.node_w[:, None]).reshape(c + 1, ny + 1, nz + 1, m)
+        g_int = G[:, 1:ny, 1:nz]  # (c+1, ny-1, nz-1, m)
+
+        d = jax.lax.axis_index(self.axis)
+        Vxl = jax.lax.dynamic_slice(
+            self.fpVx_full, (d * c, jnp.int32(0)), (c + 1, self.nx - 1)
+        )
+        from maxwell_tpu.solvers.spectral import SpectralShiftSolver
+
+        tr = SpectralShiftSolver._tr3
+        Rt = jax.lax.psum(
+            tr(g_int, Vxl, self.fpVy, self.fpVz), self.axis
+        )
+        Rt = Rt * self.fp_inv_lam[:, :, :, None]
+        q_int = tr(Rt, Vxl.T, self.fpVy.T, self.fpVz.T)
+        out = jnp.zeros((c + 1, ny + 1, nz + 1, m), r.dtype)
+        out = out.at[:, 1:ny, 1:nz].set(q_int)
+        return out.reshape(self.nn_loc, m) * self.node_mask[:, None]
+
     def project(self, X):
         vec = X.ndim == 1
         Xm = (X[:, None] if vec else X) * self.mask[:, None]
         nmask = self.node_mask[:, None]
 
-        def L_mm(phi):
-            return nmask * self._gt_mm(self.M_mm(self._g_mm(nmask * phi)))
-
         rhs = nmask * self._gt_mm(self.M_mm(Xm))
-        q = cg(
-            L_mm, rhs, tol=self.proj_tol, maxiter=self.proj_iters,
-            dot=self._node_dot,
-        )
+        if self.fpVx_full is not None:
+            q = self._fast_nodal_solve(rhs)
+        else:
+
+            def L_mm(phi):
+                return nmask * self._gt_mm(
+                    self.M_mm(self._g_mm(nmask * phi))
+                )
+
+            q = cg(
+                L_mm, rhs, tol=self.proj_tol, maxiter=self.proj_iters,
+                dot=self._node_dot,
+            )
         out = Xm - self._g_mm(q) * self.mask[:, None]
         return out[:, 0] if vec else out
 
@@ -455,6 +509,28 @@ class DistStencilPencil3D:
                 D * cells, ny, nz
             )
         )
+        # exact nodal Poisson eigentransforms (vacuum only): the
+        # projector's fast path (see _fast_nodal_solve)
+        fpVx_full = fpVy = fpVz = fp_inv_lam = None
+        if inv_mu is None and eps is None:
+            from maxwell_tpu.solvers.fast_poisson import _modes_1d
+
+            lx, Vx = _modes_1d(nx, a / nx)
+            ly, Vy = _modes_1d(ny, b / ny)
+            lz, Vz = _modes_1d(nz, c_len / nz)
+            Vx_full = np.zeros((nx + 1, nx - 1))
+            Vx_full[1:nx] = Vx
+            fpVx_full = jnp.asarray(Vx_full, dtype)
+            fpVy = jnp.asarray(Vy, dtype)
+            fpVz = jnp.asarray(Vz, dtype)
+            fp_inv_lam = jnp.asarray(
+                1.0
+                / (
+                    lx[:, None, None] + ly[None, :, None]
+                    + lz[None, None, :]
+                ),
+                dtype,
+            )
         return DistStencilPencil3D(
             mask=jnp.asarray(mask.reshape(-1)),
             w_dot=jnp.asarray(w_dot.reshape(-1)),
@@ -467,6 +543,8 @@ class DistStencilPencil3D:
             node_w=jnp.asarray(node_w.reshape(-1)),
             inv_mu=inv_mu,
             eps=eps,
+            fpVx_full=fpVx_full, fpVy=fpVy, fpVz=fpVz,
+            fp_inv_lam=fp_inv_lam,
             ax=a, by=b, cz=c_len, nx=nx, ny=ny, nz=nz,
             cells=cells, D=D, n_loc=n_loc, n_loc_pad=n_loc_pad,
             nn_loc=nn_loc, axis=axis,
