@@ -77,6 +77,13 @@ def _timeit_chain(fn, x0, iters=16, repeats=2):
 
 
 def main():
+    # deep JAX traces (unrolled CG preconditioner inside the LOBPCG body,
+    # 99-slice stencils) can exceed CPython's default 1000-frame recursion
+    # limit late in this long single process (observed once: the 12^3
+    # time_to_1e8 section RecursionError'd after the dielectric section
+    # had traced its own deep graphs)
+    sys.setrecursionlimit(100_000)
+
     import jax
 
     try:
@@ -144,12 +151,19 @@ def main():
             details["union_build_error"] = repr(e)[:400]
 
     # ---- 1. HBM copy roofline -------------------------------------------
+    # median of three spaced probes: single-shot bw on this chip varies
+    # ~±15% session to session (clock/thermal state over the axon
+    # tunnel), which previously wobbled every %-of-roofline row
     nbytes = 256 * 1024 * 1024 if on_tpu else 64 * 1024 * 1024
     big = jnp.ones((nbytes // 4,), jnp.float32)
     log("hbm...")
-    t = _timeit_chain(lambda x: jnp.abs(x) + 1.0, big, iters=20)
-    bw = 2 * nbytes / t  # read + write
+    bws = []
+    for _ in range(3 if on_tpu else 1):
+        t = _timeit_chain(lambda x: jnp.abs(x) + 1.0, big, iters=20)
+        bws.append(2 * nbytes / t)
+    bw = float(np.median(bws))
     details["hbm_copy_GBps"] = bw / 1e9
+    details["hbm_copy_GBps_probes"] = [b / 1e9 for b in bws]
 
     # ---- 2. operator-apply paths, each vs ITS OWN traffic ----------------
     from maxwell_tpu.problems import BrickCavity3D

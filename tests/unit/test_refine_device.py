@@ -86,10 +86,13 @@ def test_refine_dw_reaches_1e8(pencils):
     out = refine_dw(p32, res32.eigenvectors, tol=1e-8)
     assert out.converged, f"residuals {out.residuals}"
 
-    # independent f64 oracle on the returned vectors
-    X = jnp.asarray(out.eigenvectors, jnp.float64)
-    KX = np.asarray(p64.K_mm(X))
-    MX = np.asarray(p64.M_mm(X))
+    # independent f64 oracle on the returned vectors (padded back to the
+    # pencil's layout)
+    X = jnp.zeros(
+        (p64.n_padded, out.eigenvectors.shape[1]), jnp.float64
+    ).at[: p64.n].set(jnp.asarray(out.eigenvectors, jnp.float64))
+    KX = np.asarray(p64.K_mm(X))[: p64.n]
+    MX = np.asarray(p64.M_mm(X))[: p64.n]
     th = out.eigenvalues
     R = KX - MX * th[None, :]
     scale = np.linalg.norm(KX, axis=0) + np.abs(th) * np.linalg.norm(
