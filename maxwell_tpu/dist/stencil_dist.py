@@ -80,6 +80,12 @@ class DistStencilPencil3D:
     fpVy: jax.Array | None = None  # (ny-1, ny-1)
     fpVz: jax.Array | None = None
     fp_inv_lam: jax.Array | None = None  # (nx-1, ny-1, nz-1)
+    # translation-invariant taps (vacuum PEC — problems/stencil3d
+    # _derive_taps): enables the GATHER-form slab apply (one ghost
+    # x-plane per component per side, no interface partial sums) — the
+    # per-iteration hot path at 64^3 (round 4; the scatter-form element
+    # apply stays as the materials fallback). Static floats -> aux.
+    taps: tuple | None = None
 
     def tree_flatten(self):
         ch = (
@@ -91,7 +97,7 @@ class DistStencilPencil3D:
             self.ax, self.by, self.cz, self.nx, self.ny, self.nz,
             self.cells, self.D, self.n_loc, self.n_loc_pad, self.nn_loc,
             self.axis, self.mass_tol, self.mass_iters, self.proj_tol,
-            self.proj_iters,
+            self.proj_iters, self.taps,
         )
         return ch, aux
 
@@ -101,7 +107,7 @@ class DistStencilPencil3D:
         # 4), but the dataclass declares them after the defaulted aux
         # fields — assign by keyword, not position
         return cls(
-            *ch[:11], *aux,
+            *ch[:11], *aux[:-1], taps=aux[-1],
             fpVx_full=ch[11], fpVy=ch[12], fpVz=ch[13], fp_inv_lam=ch[14],
         )
 
@@ -123,6 +129,7 @@ class DistStencilPencil3D:
             n_loc_pad=self.n_loc_pad, nn_loc=self.nn_loc, axis=self.axis,
             mass_tol=self.mass_tol, mass_iters=self.mass_iters,
             proj_tol=self.proj_tol, proj_iters=self.proj_iters,
+            taps=self.taps,
         )
 
     # --- protocol: shapes/dtype -------------------------------------------
@@ -202,6 +209,98 @@ class DistStencilPencil3D:
         )
         return A.at[0].add(from_left).at[-1].add(from_right), from_right
 
+    # --- gather-form tap apply (vacuum PEC; round 4) ------------------------
+    def _ghost_planes(self, Ex, Ey, Ez):
+        """One ghost x-plane per component per side via TWO packed
+        ppermutes. Sent planes: to the RIGHT neighbor goes what it needs
+        as its left ghost (our Ex[-1], Ey[-2], Ez[-2] — its plane -1 in
+        each component's local x index); to the LEFT goes our (Ex[0],
+        Ey[1], Ez[1]). Chain ends receive zeros — exactly the zero
+        padding the single-device tap apply uses at the domain boundary.
+        Interface planes (replicated, consistent) need no exchange."""
+        m = Ex.shape[-1]
+
+        def pack(ex_pl, ey_pl, ez_pl):
+            return jnp.concatenate(
+                [ex_pl.reshape(-1, m), ey_pl.reshape(-1, m),
+                 ez_pl.reshape(-1, m)], axis=0
+            )
+
+        def unpack(buf):
+            ny, nz = self.ny, self.nz
+            a = (ny + 1) * (nz + 1)
+            b = ny * (nz + 1)
+            ex = buf[:a].reshape(1, ny + 1, nz + 1, m)
+            ey = buf[a : a + b].reshape(1, ny, nz + 1, m)
+            ez = buf[a + b :].reshape(1, ny + 1, nz, m)
+            return ex, ey, ez
+
+        right_perm = [(d, d + 1) for d in range(self.D - 1)]
+        left_perm = [(d + 1, d) for d in range(self.D - 1)]
+        to_right = pack(Ex[-1], Ey[-2], Ez[-2])
+        to_left = pack(Ex[0], Ey[1], Ez[1])
+        from_left = jax.lax.ppermute(to_right, self.axis, right_perm)
+        from_right = jax.lax.ppermute(
+            _after(to_left, from_left), self.axis, left_perm
+        )
+        return unpack(from_left), unpack(from_right)
+
+    def _taps_apply_slab(self, X, want_K, want_M):
+        """Gather-form tap apply on ghost-extended local grids: every
+        owned output row (including the replicated interface planes,
+        computed identically on both copies) sees its full neighborhood,
+        so there is NO output partial-sum exchange — comm is two packed
+        one-plane ppermutes issued before the (much larger) tap
+        arithmetic. Same shifted-slice structure as the single-device
+        StencilPencil3D._taps_apply; the x-axis zero padding is replaced
+        by the ghost planes."""
+        vec = X.ndim == 1
+        Xl = (X[:, None] if vec else X) * self.mask[:, None]
+        m = Xl.shape[1]
+        grids = self._to_grids(Xl)
+        (glx, gly, glz), (grx, gry, grz) = self._ghost_planes(*grids)
+        ext = (
+            jnp.concatenate([glx, grids[0], grx], axis=0),
+            jnp.concatenate([gly, grids[1], gry], axis=0),
+            jnp.concatenate([glz, grids[2], grz], axis=0),
+        )
+        shapes = [g.shape for g in grids]
+        # m-leading, zero-pad y/z by 1; x is already ghost-extended by 1
+        P = [
+            jnp.pad(
+                jnp.moveaxis(g, -1, 0), ((0, 0), (0, 0), (1, 1), (1, 1))
+            )
+            for g in ext
+        ]
+        outK, outM = [], []
+        for alpha in range(3):
+            s_ = shapes[alpha]
+            accK = jnp.zeros((m,) + tuple(s_[:-1]), Xl.dtype)
+            accM = accK
+            for beta, (dx, dy, dz), cK, cM in self.taps[alpha]:
+                sl = P[beta][
+                    :,
+                    1 + dx : 1 + dx + s_[0],
+                    1 + dy : 1 + dy + s_[1],
+                    1 + dz : 1 + dz + s_[2],
+                ]
+                if want_K and cK != 0.0:
+                    accK = accK + cK * sl
+                if want_M and cM != 0.0:
+                    accM = accM + cM * sl
+            outK.append(accK)
+            outM.append(accM)
+
+        def pack_out(Ys):
+            Ys = [jnp.moveaxis(Y, 0, -1) for Y in Ys]
+            out = self._from_grids(*Ys, m) * self.mask[:, None]
+            return out[:, 0] if vec else out
+
+        return (
+            pack_out(outK) if want_K else None,
+            pack_out(outM) if want_M else None,
+        )
+
     # --- element apply -----------------------------------------------------
     def _element_apply_multi(self, E, X, scales=None):
         """Stacked element apply ((12k, 12) E -> k outputs) with ONE panel
@@ -270,14 +369,21 @@ class DistStencilPencil3D:
         return arr.reshape(self.cells, self.ny, self.nz)
 
     def K_mm(self, X):
+        if self.taps is not None:
+            return self._taps_apply_slab(X, True, False)[0]
         return self._element_apply(
             self.Ke, X, scale=self._cell_grid(self.inv_mu)
         )
 
     def M_mm(self, X):
+        if self.taps is not None:
+            return self._taps_apply_slab(X, False, True)[1]
         return self._element_apply(self.Me, X, scale=self._cell_grid(self.eps))
 
     def KM_mm(self, X):
+        if self.taps is not None:
+            # fused taps: shared ghost exchange + shared slices for K and M
+            return self._taps_apply_slab(X, True, True)
         # fused: one panel gather + one (24x12) contraction for K and M
         vec = X.ndim == 1
         Xl = X[:, None] if vec else X
@@ -509,6 +615,17 @@ class DistStencilPencil3D:
                 D * cells, ny, nz
             )
         )
+        # translation-invariant taps (vacuum PEC): the gather-form slab
+        # apply; derived from the dtype-CAST element matrices so the tap
+        # and element paths agree at the production dtype
+        taps = None
+        if inv_mu is None and eps is None:
+            from maxwell_tpu.problems.stencil3d import _derive_taps
+
+            np_dt = np.dtype(jnp.zeros((), dtype).dtype)
+            taps = _derive_taps(
+                np.asarray(Ke, np_dt), np.asarray(Me, np_dt)
+            )
         # exact nodal Poisson eigentransforms (vacuum only): the
         # projector's fast path (see _fast_nodal_solve)
         fpVx_full = fpVy = fpVz = fp_inv_lam = None
@@ -545,6 +662,7 @@ class DistStencilPencil3D:
             eps=eps,
             fpVx_full=fpVx_full, fpVy=fpVy, fpVz=fpVz,
             fp_inv_lam=fp_inv_lam,
+            taps=taps,
             ax=a, by=b, cz=c_len, nx=nx, ny=ny, nz=nz,
             cells=cells, D=D, n_loc=n_loc, n_loc_pad=n_loc_pad,
             nn_loc=nn_loc, axis=axis,
