@@ -309,15 +309,20 @@ def main(argv=None):
     t_refine = None
     if want_refine and res.eigenvectors is not None:
         t0 = time.perf_counter()
-        if (
-            use_stencil
-            and getattr(locals().get("pencil"), "taps_dw", None) is not None
+        _pc = locals().get("pencil")
+        if use_stencil and (
+            getattr(_pc, "taps_dw", None) is not None
+            or (
+                getattr(_pc, "ftaps_Kdw", None) is not None
+                and getattr(_pc, "bc", "pec") == "pec"
+            )
         ):
             # ON-DEVICE double-word RQI refinement (round-3 VERDICT item
-            # 1): vacuum-PEC 3D stencil pencils refine to 1e-8 on the
-            # accelerator (solvers/refine_device.py) — the host touches
-            # one (m, m) eigh. Orders of magnitude faster than the f64
-            # host polish it replaces.
+            # 1): PEC 3D stencil pencils — vacuum (exact spectral shift
+            # solves) AND loaded (preconditioned block MINRES
+            # corrections) — refine to 1e-8 on the accelerator
+            # (solvers/refine_device.py); the host touches one (m, m)
+            # eigh. Orders of magnitude faster than the f64 host polish.
             from maxwell_tpu.solvers.refine_device import refine_dw
 
             ref = refine_dw(pencil, res.eigenvectors, tol=full_tol)

@@ -98,7 +98,8 @@ def _derive_taps_dw(Ke64, Me64):
     return tuple(out)
 
 
-def _derive_field_taps(Ke, Me, nx, ny, nz, scaleK, scaleM):
+def _derive_field_taps(Ke, Me, nx, ny, nz, scaleK, scaleM, dtype=None,
+                       dw=False):
     """Position-dependent tap stencil: the fast path for LOADED cavities and
     PMC walls (round-1 VERDICT item 9).
 
@@ -115,18 +116,32 @@ def _derive_field_taps(Ke, Me, nx, ny, nz, scaleK, scaleM):
     component per operator (~264 B/row total) — still far below assembled
     BSR, and the apply stays gather-free static slices.
 
-    Returns (meta, Kgrids, Mgrids): meta = tuple over alpha of tuples
-    (beta, (dx,dy,dz), iK, iM) with iK/iM indices into the flat grid lists
-    (or -1 when that operator has no such tap).
+    Returns (meta, Kgrids, Mgrids, Kdw, Mdw): meta = tuple over alpha of
+    tuples (beta, (dx,dy,dz), iK, iM) with iK/iM indices into the flat
+    grid lists (or -1 when that operator has no such tap). Grids are
+    accumulated in f64 and cast to `dtype` (default: Ke's dtype). With
+    dw=True, Kdw/Mdw are ((hi...), (lo...)) f32 pair tuples carrying the
+    f64-accurate coefficients for the double-word apply (loaded-cavity
+    on-device 1e-8 path, round 4); else None.
     """
+    Ke = np.asarray(Ke, np.float64)
+    Me = np.asarray(Me, np.float64)
+    np_dt = np.dtype(dtype) if dtype is not None else Ke.dtype
     shapes = (
         (nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1), (nx + 1, ny + 1, nz)
     )
-    padK = np.zeros((nx + 2, ny + 2, nz + 2), dtype=np.asarray(Ke).dtype)
+    padK = np.zeros((nx + 2, ny + 2, nz + 2), dtype=np.float64)
     padK[1:-1, 1:-1, 1:-1] = scaleK
     padM = np.zeros_like(padK)
     padM[1:-1, 1:-1, 1:-1] = scaleM
     meta, Kgrids, Mgrids = [], [], []
+    Khi, Klo, Mhi, Mlo = [], [], [], []
+
+    def _dw_split(g):
+        hi = g.astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray(
+            (g - hi.astype(np.float64)).astype(np.float32)
+        )
     for alpha in range(3):
         s = shapes[alpha]
         acc = {}
@@ -156,13 +171,23 @@ def _derive_field_taps(Ke, Me, nx, ny, nz, scaleK, scaleM):
             iK = iM = -1
             if hasK:
                 iK = len(Kgrids)
-                Kgrids.append(jnp.asarray(cK))
+                Kgrids.append(jnp.asarray(np.asarray(cK).astype(np_dt)))
+                if dw:
+                    h, l = _dw_split(np.asarray(cK, np.float64))
+                    Khi.append(h)
+                    Klo.append(l)
             if hasM:
                 iM = len(Mgrids)
-                Mgrids.append(jnp.asarray(cM))
+                Mgrids.append(jnp.asarray(np.asarray(cM).astype(np_dt)))
+                if dw:
+                    h, l = _dw_split(np.asarray(cM, np.float64))
+                    Mhi.append(h)
+                    Mlo.append(l)
             entries.append((beta, d, iK, iM))
         meta.append(tuple(entries))
-    return tuple(meta), tuple(Kgrids), tuple(Mgrids)
+    Kdw = (tuple(Khi), tuple(Klo)) if dw else None
+    Mdw = (tuple(Mhi), tuple(Mlo)) if dw else None
+    return tuple(meta), tuple(Kgrids), tuple(Mgrids), Kdw, Mdw
 
 
 @jax.tree_util.register_pytree_node_class
@@ -212,6 +237,10 @@ class StencilPencil3D:
     # double-word (hi, lo f32) tap coefficients for the on-device
     # high-precision apply (see _derive_taps_dw / KM_mm_dw)
     taps_dw: tuple | None = None
+    # double-word FIELD-coefficient grids ((hi...), (lo...)) for loaded
+    # cavities / PMC — the dw apply generalized to eps/mu != 1 (round 4)
+    ftaps_Kdw: tuple | None = None
+    ftaps_Mdw: tuple | None = None
     # boundary condition ("pec" | "pmc"): the spectral solver's interior
     # sine/cosine tensor basis is valid for PEC only — loaded (eps/mu)
     # PEC pencils may use the VACUUM spectral solve as an approximate
@@ -221,7 +250,8 @@ class StencilPencil3D:
     def tree_flatten(self):
         return (
             self.mask, self.Ke, self.Me, self.proj, self.inv_mu, self.eps,
-            self.fastproj, self.ftaps_K, self.ftaps_M,
+            self.fastproj, self.ftaps_K, self.ftaps_M, self.ftaps_Kdw,
+            self.ftaps_Mdw,
         ), (
             self.a, self.b, self.c, self.nx, self.ny, self.nz,
             self.n, self.n_padded, self.mass_tol, self.mass_iters,
@@ -233,12 +263,14 @@ class StencilPencil3D:
     def tree_unflatten(cls, aux, children):
         (
             mask, Ke, Me, proj, inv_mu, eps, fastproj, ftaps_K, ftaps_M,
+            ftaps_Kdw, ftaps_Mdw,
         ) = children
         return cls(
             mask, Ke, Me, proj, *aux[:-5], inv_mu=inv_mu, eps=eps,
             fastproj=fastproj, taps=aux[-5], ftaps_meta=aux[-4],
             taps_impl=aux[-3], taps_dw=aux[-2], bc=aux[-1],
-            ftaps_K=ftaps_K, ftaps_M=ftaps_M,
+            ftaps_K=ftaps_K, ftaps_M=ftaps_M, ftaps_Kdw=ftaps_Kdw,
+            ftaps_Mdw=ftaps_Mdw,
         )
 
     @property
@@ -441,8 +473,8 @@ class StencilPencil3D:
         """
         from maxwell_tpu.utils import twofloat as tf
 
-        if self.taps_dw is None:
-            raise ValueError("KM_mm_dw needs the vacuum-PEC tap pencil")
+        if self.taps_dw is None and self.ftaps_Kdw is None:
+            raise ValueError("KM_mm_dw needs a tap or field-tap pencil")
         mk = self.mask[:, None]
         Xh = Xh * mk
         Xl = Xl * mk  # mask is 0/1: exact on both words
@@ -462,22 +494,47 @@ class StencilPencil3D:
             s = shapes[alpha]
             z = jnp.zeros((m,) + tuple(s[:-1]), Xh.dtype)
             aKh, aKl, aMh, aMl = z, z, z, z
-            for beta, (dx, dy, dz), (cKh, cKl), (cMh, cMl) in self.taps_dw[
-                alpha
-            ]:
-                w = (
-                    slice(None),
-                    slice(1 + dx, 1 + dx + s[0]),
-                    slice(1 + dy, 1 + dy + s[1]),
-                    slice(1 + dz, 1 + dz + s[2]),
-                )
-                sh, sl = Ph[beta][w], Pl[beta][w]
-                if want_K and (cKh != 0.0 or cKl != 0.0):
-                    th, tl = tf.dw_mul(sh, sl, cKh, cKl)
-                    aKh, aKl = tf.dw_add(aKh, aKl, th, tl)
-                if want_M and (cMh != 0.0 or cMl != 0.0):
-                    th, tl = tf.dw_mul(sh, sl, cMh, cMl)
-                    aMh, aMl = tf.dw_add(aMh, aMl, th, tl)
+            if self.taps_dw is not None:
+                for beta, (dx, dy, dz), (cKh, cKl), (
+                    cMh, cMl,
+                ) in self.taps_dw[alpha]:
+                    w = (
+                        slice(None),
+                        slice(1 + dx, 1 + dx + s[0]),
+                        slice(1 + dy, 1 + dy + s[1]),
+                        slice(1 + dz, 1 + dz + s[2]),
+                    )
+                    sh, sl = Ph[beta][w], Pl[beta][w]
+                    if want_K and (cKh != 0.0 or cKl != 0.0):
+                        th, tl = tf.dw_mul(sh, sl, cKh, cKl)
+                        aKh, aKl = tf.dw_add(aKh, aKl, th, tl)
+                    if want_M and (cMh != 0.0 or cMl != 0.0):
+                        th, tl = tf.dw_mul(sh, sl, cMh, cMl)
+                        aMh, aMl = tf.dw_add(aMh, aMl, th, tl)
+            else:
+                # field-coefficient dw taps (loaded cavities / PMC): the
+                # coefficient is a GRID pair, broadcast on the leading
+                # m-axis only — a bit-exact broadcast class everywhere
+                Khi, Klo = self.ftaps_Kdw
+                Mhi, Mlo = self.ftaps_Mdw
+                for beta, (dx, dy, dz), iK, iM in self.ftaps_meta[alpha]:
+                    w = (
+                        slice(None),
+                        slice(1 + dx, 1 + dx + s[0]),
+                        slice(1 + dy, 1 + dy + s[1]),
+                        slice(1 + dz, 1 + dz + s[2]),
+                    )
+                    sh, sl = Ph[beta][w], Pl[beta][w]
+                    if want_K and iK >= 0:
+                        th, tl = tf.dw_mul(
+                            sh, sl, Khi[iK][None], Klo[iK][None]
+                        )
+                        aKh, aKl = tf.dw_add(aKh, aKl, th, tl)
+                    if want_M and iM >= 0:
+                        th, tl = tf.dw_mul(
+                            sh, sl, Mhi[iM][None], Mlo[iM][None]
+                        )
+                        aMh, aMl = tf.dw_add(aMh, aMl, th, tl)
             outK.append((aKh, aKl))
             outM.append((aMh, aMl))
 
@@ -717,16 +774,18 @@ class StencilPencil3D:
         # loaded cavities / PMC keep a (field-coefficient) fast path too
         # (round-1 VERDICT item 9)
         ftaps_meta = ftaps_K = ftaps_M = None
+        ftaps_Kdw = ftaps_Mdw = None
         if taps is None:
-            ones = np.ones((nx, ny, nz), np_dt)
+            ones = np.ones((nx, ny, nz), np.float64)
             sK = (
                 ones if mu_r is None
-                else np.asarray(1.0 / np.asarray(mu_r), np_dt)
+                else 1.0 / np.asarray(mu_r, np.float64)
             )
-            sM = ones if eps_r is None else np.asarray(eps_r, np_dt)
-            ftaps_meta, ftaps_K, ftaps_M = _derive_field_taps(
-                np.asarray(Ke, np_dt), np.asarray(Me, np_dt),
-                nx, ny, nz, sK, sM,
+            sM = ones if eps_r is None else np.asarray(eps_r, np.float64)
+            (
+                ftaps_meta, ftaps_K, ftaps_M, ftaps_Kdw, ftaps_Mdw,
+            ) = _derive_field_taps(
+                Ke, Me, nx, ny, nz, sK, sM, dtype=np_dt, dw=True,
             )
         if taps_impl == "auto":
             # MEASURED (round 3, exp_stencil3 on the chip, 64^3 m=8): the
@@ -752,6 +811,7 @@ class StencilPencil3D:
             taps=taps,
             taps_dw=taps_dw,
             ftaps_meta=ftaps_meta, ftaps_K=ftaps_K, ftaps_M=ftaps_M,
+            ftaps_Kdw=ftaps_Kdw, ftaps_Mdw=ftaps_Mdw,
             taps_impl=taps_impl,
             bc=bc,
         )
