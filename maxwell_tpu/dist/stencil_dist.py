@@ -86,6 +86,9 @@ class DistStencilPencil3D:
     # per-iteration hot path at 64^3 (round 4; the scatter-form element
     # apply stays as the materials fallback). Static floats -> aux.
     taps: tuple | None = None
+    # f64-accurate (hi, lo) tap pairs for the DISTRIBUTED double-word
+    # apply (device RQI refinement at pod scale; round 4)
+    taps_dw: tuple | None = None
 
     def tree_flatten(self):
         ch = (
@@ -97,7 +100,7 @@ class DistStencilPencil3D:
             self.ax, self.by, self.cz, self.nx, self.ny, self.nz,
             self.cells, self.D, self.n_loc, self.n_loc_pad, self.nn_loc,
             self.axis, self.mass_tol, self.mass_iters, self.proj_tol,
-            self.proj_iters, self.taps,
+            self.proj_iters, self.taps, self.taps_dw,
         )
         return ch, aux
 
@@ -107,7 +110,7 @@ class DistStencilPencil3D:
         # 4), but the dataclass declares them after the defaulted aux
         # fields — assign by keyword, not position
         return cls(
-            *ch[:11], *aux[:-1], taps=aux[-1],
+            *ch[:11], *aux[:-2], taps=aux[-2], taps_dw=aux[-1],
             fpVx_full=ch[11], fpVy=ch[12], fpVz=ch[13], fp_inv_lam=ch[14],
         )
 
@@ -129,7 +132,7 @@ class DistStencilPencil3D:
             n_loc_pad=self.n_loc_pad, nn_loc=self.nn_loc, axis=self.axis,
             mass_tol=self.mass_tol, mass_iters=self.mass_iters,
             proj_tol=self.proj_tol, proj_iters=self.proj_iters,
-            taps=self.taps,
+            taps=self.taps, taps_dw=self.taps_dw,
         )
 
     # --- protocol: shapes/dtype -------------------------------------------
@@ -299,6 +302,88 @@ class DistStencilPencil3D:
         return (
             pack_out(outK) if want_K else None,
             pack_out(outM) if want_M else None,
+        )
+
+    def KM_mm_dw(self, Xh, Xl, want_K=True, want_M=True):
+        """DOUBLE-WORD slab tap apply (distributed device-RQI foundation,
+        round 4): same ghost-extended gather structure as
+        _taps_apply_slab, with the ghost exchange carrying BOTH words
+        (hi/lo stacked in one buffer per direction — exchanging the exact
+        f32 pair keeps the apply ~1e-13-accurate across shard
+        boundaries) and the accumulation in error-free transforms
+        (utils/twofloat). Returns ((YKh, YKl)|None, (YMh, YMl)|None)."""
+        from maxwell_tpu.utils import twofloat as tf
+
+        if self.taps_dw is None:
+            raise ValueError("KM_mm_dw needs the vacuum slab tap pencil")
+        mk = self.mask[:, None]
+        Xh = Xh * mk
+        Xl = Xl * mk
+        m = Xh.shape[1]
+        gh = self._to_grids(Xh)
+        gl = self._to_grids(Xl)
+        # one packed exchange per direction for BOTH words: stack the
+        # hi-word planes over the lo-word planes
+        (g2lx, g2ly, g2lz), (g2rx, g2ry, g2rz) = self._ghost_planes(
+            jnp.concatenate([gh[0], gl[0]], axis=-1),
+            jnp.concatenate([gh[1], gl[1]], axis=-1),
+            jnp.concatenate([gh[2], gl[2]], axis=-1),
+        )
+
+        def split2(g):
+            return g[..., :m], g[..., m:]
+
+        ghostL = tuple(split2(g) for g in (g2lx, g2ly, g2lz))
+        ghostR = tuple(split2(g) for g in (g2rx, g2ry, g2rz))
+        ext_h = tuple(
+            jnp.concatenate([ghostL[i][0], gh[i], ghostR[i][0]], axis=0)
+            for i in range(3)
+        )
+        ext_l = tuple(
+            jnp.concatenate([ghostL[i][1], gl[i], ghostR[i][1]], axis=0)
+            for i in range(3)
+        )
+        shapes = [g.shape for g in gh]
+        padg = lambda g: jnp.pad(
+            jnp.moveaxis(g, -1, 0), ((0, 0), (0, 0), (1, 1), (1, 1))
+        )
+        Ph = [padg(g) for g in ext_h]
+        Pl = [padg(g) for g in ext_l]
+        outK, outM = [], []
+        for alpha in range(3):
+            s_ = shapes[alpha]
+            z = jnp.zeros((m,) + tuple(s_[:-1]), Xh.dtype)
+            aKh, aKl, aMh, aMl = z, z, z, z
+            for beta, (dx, dy, dz), (cKh, cKl), (
+                cMh, cMl,
+            ) in self.taps_dw[alpha]:
+                w = (
+                    slice(None),
+                    slice(1 + dx, 1 + dx + s_[0]),
+                    slice(1 + dy, 1 + dy + s_[1]),
+                    slice(1 + dz, 1 + dz + s_[2]),
+                )
+                sh_, sl_ = Ph[beta][w], Pl[beta][w]
+                if want_K and (cKh != 0.0 or cKl != 0.0):
+                    th, tl = tf.dw_mul(sh_, sl_, cKh, cKl)
+                    aKh, aKl = tf.dw_add(aKh, aKl, th, tl)
+                if want_M and (cMh != 0.0 or cMl != 0.0):
+                    th, tl = tf.dw_mul(sh_, sl_, cMh, cMl)
+                    aMh, aMl = tf.dw_add(aMh, aMl, th, tl)
+            outK.append((aKh, aKl))
+            outM.append((aMh, aMl))
+
+        def pack_pair(pairs):
+            Yh = [jnp.moveaxis(p_[0], 0, -1) for p_ in pairs]
+            Yl = [jnp.moveaxis(p_[1], 0, -1) for p_ in pairs]
+            return (
+                self._from_grids(*Yh, m) * mk,
+                self._from_grids(*Yl, m) * mk,
+            )
+
+        return (
+            pack_pair(outK) if want_K else None,
+            pack_pair(outM) if want_M else None,
         )
 
     # --- element apply -----------------------------------------------------
@@ -618,14 +703,18 @@ class DistStencilPencil3D:
         # translation-invariant taps (vacuum PEC): the gather-form slab
         # apply; derived from the dtype-CAST element matrices so the tap
         # and element paths agree at the production dtype
-        taps = None
+        taps = taps_dw = None
         if inv_mu is None and eps is None:
-            from maxwell_tpu.problems.stencil3d import _derive_taps
+            from maxwell_tpu.problems.stencil3d import (
+                _derive_taps,
+                _derive_taps_dw,
+            )
 
             np_dt = np.dtype(jnp.zeros((), dtype).dtype)
             taps = _derive_taps(
                 np.asarray(Ke, np_dt), np.asarray(Me, np_dt)
             )
+            taps_dw = _derive_taps_dw(Ke, Me)
         # exact nodal Poisson eigentransforms (vacuum only): the
         # projector's fast path (see _fast_nodal_solve)
         fpVx_full = fpVy = fpVz = fp_inv_lam = None
@@ -662,7 +751,7 @@ class DistStencilPencil3D:
             eps=eps,
             fpVx_full=fpVx_full, fpVy=fpVy, fpVz=fpVz,
             fp_inv_lam=fp_inv_lam,
-            taps=taps,
+            taps=taps, taps_dw=taps_dw,
             ax=a, by=b, cz=c_len, nx=nx, ny=ny, nz=nz,
             cells=cells, D=D, n_loc=n_loc, n_loc_pad=n_loc_pad,
             nn_loc=nn_loc, axis=axis,

@@ -136,6 +136,176 @@ def _final_residual(pencil, Xh, Xl):
     return th, tl, res
 
 
+def _dw_allsum_pairs(h, l, axis, D: int):
+    """EXACT cross-shard sum of small (m,)-shaped dw pairs: psum would
+    round each word independently (f32 error ~eps per add — destroys the
+    ~2^-48 pair accuracy), so gather all D pairs and dw-add them
+    deterministically (D is small and static)."""
+    pair = jnp.stack([h, l])
+    g = jax.lax.all_gather(pair, axis)  # (D, 2, m)
+    ah, al = g[0, 0], g[0, 1]
+    for d in range(1, D):
+        ah, al = tf.dw_add(ah, al, g[d, 0], g[d, 1])
+    return ah, al
+
+
+def _rq_and_residual_dist(p, Xh, Xl):
+    """theta (dw, replicated), scaled residual norms (replicated), and the
+    shard-local dw residual block. Ownership weights (0/1 — exact
+    multiplies) keep replicated interface rows counted once."""
+    (KXh, KXl), (MXh, MXl) = p.KM_mm_dw(Xh, Xl)
+    w = p.w_dot[:, None]
+    nh, nl = tf.dw_dot_cols(Xh * w, Xl * w, KXh, KXl)
+    nh, nl = _dw_allsum_pairs(nh, nl, p.axis, p.D)
+    dh, dl = tf.dw_dot_cols(Xh * w, Xl * w, MXh, MXl)
+    dh, dl = _dw_allsum_pairs(dh, dl, p.axis, p.D)
+    th, tl = _dw_div_cols(nh, nl, dh, dl)
+    tMh, tMl = tf.dw_mul(MXh, MXl, th[None, :], tl[None, :])
+    Rh, Rl = tf.dw_add(KXh, KXl, -tMh, -tMl)
+
+    def gnorm(A):
+        return jnp.sqrt(
+            jax.lax.psum(jnp.sum(w * A * A, axis=0), p.axis)
+        )
+
+    res = gnorm(Rh) / jnp.maximum(
+        gnorm(KXh) + jnp.abs(th) * gnorm(MXh), 1e-30
+    )
+    return th, tl, res, Rh, Rl
+
+
+def refine_dw_dist(
+    dpencil,
+    mesh,
+    X,
+    tol: float = 1e-8,
+    max_sweeps: int = 6,
+    sigma_rel: float = 3e-3,
+):
+    """DISTRIBUTED on-device refinement to 1e-8 (round 4): the same dw
+    RQI as refine_dw, shard_mapped over the slab mesh — dw slab tap
+    applies (ghost pairs), exact cross-shard dw reductions
+    (_dw_allsum_pairs), per-column distributed spectral shift solves.
+    Host work per run: sweep-loop orchestration + one (m, m) f64 eigh.
+
+    dpencil: vacuum DistStencilPencil3D (taps_dw present).
+    X: (n, m) eigenvector block in the ORIGINAL (global stencil)
+    ordering — e.g. lobpcg_dist(...).eigenvectors. Returns EigenResult in
+    the same ordering with f64-reconstructed vectors."""
+    from jax.sharding import PartitionSpec as P
+
+    from maxwell_tpu.solvers.spectral import DistSpectralShift
+
+    if getattr(dpencil, "taps_dw", None) is None:
+        raise ValueError("refine_dw_dist needs the vacuum slab tap pencil")
+    sol = DistSpectralShift.build(dpencil, alpha=0.0)
+    axis = dpencil.axis
+    row = P(axis, None)
+
+    X = np.asarray(X, np.float32)
+    if X.ndim == 1:
+        X = X[:, None]
+    Xh = dpencil.inject_vectors(X)
+    Xl = jnp.zeros_like(Xh)
+
+    def _sweep_local(p, sdef, Xh, Xl):
+        th, tl, res, Rh, Rl = _rq_and_residual_dist(p, Xh, Xl)
+        sigma = th * jnp.float32(1.0 - sigma_rel)
+        W = sdef.solve_sigma(p, Rh, sigma) * p.mask[:, None]
+        Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
+        return Xh2, Xl2, th, tl, res
+
+    sweep = jax.jit(
+        jax.shard_map(
+            _sweep_local, mesh=mesh,
+            in_specs=(
+                dpencil.partition_specs(), sol.partition_specs(), row, row,
+            ),
+            out_specs=(row, row, P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    def _grams_local(p, Xh, Xl):
+        (KXh, KXl), (MXh, MXl) = p.KM_mm_dw(Xh, Xl)
+        w = p.w_dot[:, None]
+        Ah, Al = tf.dw_gram(Xh * w, Xl * w, KXh, KXl)
+        Bh, Bl = tf.dw_gram(Xh * w, Xl * w, MXh, MXl)
+        out = []
+        for h_, l_ in ((Ah, Al), (Bh, Bl)):
+            sh_ = h_.reshape(-1)
+            sl_ = l_.reshape(-1)
+            gh_, gl_ = _dw_allsum_pairs(sh_, sl_, p.axis, p.D)
+            out.append((gh_.reshape(h_.shape), gl_.reshape(l_.shape)))
+        return out[0][0], out[0][1], out[1][0], out[1][1]
+
+    grams = jax.jit(
+        jax.shard_map(
+            _grams_local, mesh=mesh,
+            in_specs=(dpencil.partition_specs(), row, row),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    def _rot_local(Xh, Xl, Ch, Cl):
+        return tf.dw_matmul_small(Xh, Xl, Ch, Cl)
+
+    rotate = jax.jit(
+        jax.shard_map(
+            _rot_local, mesh=mesh,
+            in_specs=(row, row, P(), P()),
+            out_specs=(row, row),
+            check_vma=False,
+        )
+    )
+
+    def _final_local(p, Xh, Xl):
+        th, tl, res, _, _ = _rq_and_residual_dist(p, Xh, Xl)
+        return th, tl, res
+
+    final = jax.jit(
+        jax.shard_map(
+            _final_local, mesh=mesh,
+            in_specs=(dpencil.partition_specs(), row, row),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    hist = []
+    for sweepi in range(max_sweeps):
+        Xh, Xl, th, tl, res = sweep(dpencil, sol, Xh, Xl)
+        r = np.asarray(res)
+        hist.append({"iter": sweepi, "max_rel_res": float(r.max())})
+        if r.max() <= tol * 0.3:
+            break
+
+    Ah, Al, Bh, Bl = grams(dpencil, Xh, Xl)
+    A = tf.dw_to_f64(np.asarray(Ah), np.asarray(Al))
+    B = tf.dw_to_f64(np.asarray(Bh), np.asarray(Bl))
+    import scipy.linalg
+
+    theta64, C = scipy.linalg.eigh(0.5 * (A + A.T), 0.5 * (B + B.T))
+    Ch, Cl = tf.dw_from_f64(C)
+    Xh, Xl = rotate(Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl))
+
+    th, tl, res = final(dpencil, Xh, Xl)
+    theta = tf.dw_to_f64(np.asarray(th), np.asarray(tl))
+    res = np.asarray(res)
+    hist.append({"iter": len(hist), "max_rel_res": float(res.max())})
+    Xh_np = dpencil.extract_vectors(np.asarray(Xh))
+    Xl_np = dpencil.extract_vectors(np.asarray(Xl))
+    return EigenResult(
+        eigenvalues=theta,
+        eigenvectors=tf.dw_to_f64(Xh_np, Xl_np),
+        residuals=res,
+        iterations=len(hist),
+        converged=bool(res.max() <= tol),
+        history=hist,
+    )
+
+
 def refine_dw(
     pencil,
     X,

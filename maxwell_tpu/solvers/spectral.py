@@ -303,6 +303,15 @@ class DistSpectralShift:
     # ------------------------------------------------------------------
     def solve(self, sp, R: jax.Array) -> jax.Array:
         """Local view (inside shard_map): R (n_loc_pad, m) -> same."""
+        return self._solve_alpha(sp, R, self.alpha)
+
+    def solve_sigma(self, sp, R: jax.Array, sigma: jax.Array) -> jax.Array:
+        """(K - sigma_j M)^-1 R[:, j] per column at the slab-sharded
+        layout — the distributed device-RQI inner solve (round 4; same
+        math as SpectralShiftSolver.solve_sigma)."""
+        return self._solve_alpha(sp, R, -sigma[None, None, None, :])
+
+    def _solve_alpha(self, sp, R: jax.Array, alpha) -> jax.Array:
         hi = jax.lax.Precision.HIGHEST
         vec = R.ndim == 1
         Rl = R[:, None] if vec else R
@@ -344,9 +353,9 @@ class DistSpectralShift:
         sx_ = self.sigx[:, None, None, None]
         sy_ = self.sigy[None, :, None, None]
         sz_ = self.sigz[None, None, :, None]
-        beta = self.alpha + sx_**2 + sy_**2 + sz_**2
+        beta = alpha + sx_**2 + sy_**2 + sz_**2
         dot = sx_ * Rx + sy_ * Ry + sz_ * Rz
-        coef = dot / (self.alpha * beta)
+        coef = dot / (alpha * beta)
         Hx = (Rx / beta + sx_ * coef)[:, 1:, 1:]
         Hy = (Ry / beta + sy_ * coef)[1:, :, 1:]
         Hz = (Rz / beta + sz_ * coef)[1:, 1:, :]

@@ -1,0 +1,99 @@
+"""Distributed on-device double-word refinement
+(solvers/refine_device.refine_dw_dist) on the simulated 8-device mesh:
+f32 distributed LOBPCG block -> dw RQI under shard_map -> residual <=
+1e-8 verified against an independent single-device f64 pencil."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maxwell_tpu.dist import make_mesh
+from maxwell_tpu.dist.stencil_dist import DistStencilPencil3D
+from maxwell_tpu.problems.stencil3d import StencilPencil3D
+from maxwell_tpu.solvers.dist_solve import lobpcg_dist
+from maxwell_tpu.solvers.refine_device import refine_dw_dist
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= D
+    return make_mesh(D)
+
+
+def test_refine_dw_dist_reaches_1e8(mesh):
+    n = 16
+    dsp = DistStencilPencil3D.build(
+        nx=n, ny=n, nz=n, D=D, dtype=jnp.float32
+    )
+    res32 = lobpcg_dist(
+        dsp, mesh, nev=4, maxiter=60, tol=1e-5, precond="spectral",
+        precond_alpha=15.0,
+    )
+    assert res32.residuals.max() < 1e-2
+
+    out = refine_dw_dist(dsp, mesh, res32.eigenvectors, tol=1e-8)
+    assert out.converged, f"residuals {out.residuals}"
+
+    # independent single-device f64 oracle in the SAME global ordering
+    p64 = StencilPencil3D.build(nx=n, ny=n, nz=n, dtype=jnp.float64)
+    X = jnp.zeros(
+        (p64.n_padded, out.eigenvectors.shape[1]), jnp.float64
+    ).at[: p64.n].set(jnp.asarray(out.eigenvectors[: p64.n], jnp.float64))
+    KX = np.asarray(p64.K_mm(X))[: p64.n]
+    MX = np.asarray(p64.M_mm(X))[: p64.n]
+    th = out.eigenvalues
+    R = KX - MX * th[None, :]
+    scale = np.linalg.norm(KX, axis=0) + np.abs(th) * np.linalg.norm(
+        MX, axis=0
+    )
+    rel = np.linalg.norm(R, axis=0) / scale
+    assert rel.max() <= 2e-8, f"f64-verified residual {rel.max():.2e}"
+    from maxwell_tpu.problems.analytic import cavity_eigenvalues_3d
+
+    ana = cavity_eigenvalues_3d(1.0, 1.0, 1.0, 4)
+    np.testing.assert_allclose(np.sort(th), ana, rtol=0.05)
+
+
+def test_dw_slab_apply_matches_f64(mesh):
+    """KM_mm_dw on the slab pencil == single-device f64 apply to ~1e-12
+    (ghost pairs exact across shard boundaries)."""
+    from jax.sharding import PartitionSpec as P
+
+    from maxwell_tpu.utils import twofloat as tf
+
+    n = 16
+    dsp = DistStencilPencil3D.build(
+        nx=n, ny=n, nz=n, D=D, dtype=jnp.float32
+    )
+    p64 = StencilPencil3D.build(nx=n, ny=n, nz=n, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    X64 = rng.standard_normal((p64.n_padded, 3))
+    Xh_g, Xl_g = tf.dw_from_f64(X64)
+    X64 = tf.dw_to_f64(Xh_g, Xl_g)
+    # mask in f64 FIRST so the dw pair carries the masked value exactly
+    X64m = X64 * np.asarray(p64.mask)[:, None]
+    Xh_g, Xl_g = tf.dw_from_f64(X64m)
+
+    Xh = dsp.inject_vectors(Xh_g[: dsp.n_full])
+    Xl = dsp.inject_vectors(Xl_g[: dsp.n_full])
+    row = P(dsp.axis, None)
+    km = jax.jit(
+        jax.shard_map(
+            lambda p, a, b: p.KM_mm_dw(a, b)[0],
+            mesh=mesh,
+            in_specs=(dsp.partition_specs(), row, row),
+            out_specs=(row, row),
+            check_vma=False,
+        )
+    )
+    KXh, KXl = km(dsp, Xh, Xl)
+    got = tf.dw_to_f64(
+        dsp.extract_vectors(np.asarray(KXh)),
+        dsp.extract_vectors(np.asarray(KXl)),
+    )
+    ref = np.asarray(p64.K_mm(jnp.asarray(X64m)))[: dsp.n_full]
+    rel = np.abs(got[: dsp.n_full] - ref).max() / np.abs(ref).max()
+    assert rel < 1e-12, f"dist dw apply off by {rel:.2e}"
