@@ -291,6 +291,91 @@ def bellunion_matmat_pallas(
     )(A.tile_of, A.first, A.ucols, vals, Xp)
 
 
+def _bellunion_km_kernel(
+    tile_of_ref, first_ref, ucols_ref, vk_ref, vm_ref, x_ref, ok_ref,
+    om_ref, *, b, m, CG, pack
+):
+    k = pl.program_id(0)
+    k8 = k % jnp.int32(8)
+    parts = [
+        x_ref[pl.ds(ucols_ref[k8, g * pack] * jnp.int32(b), pack * b), :]
+        for g in range(CG // pack)
+    ]
+    xg = jnp.concatenate(parts, axis=0)
+    dk = jnp.dot(
+        vk_ref[:], xg, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dm = jnp.dot(
+        vm_ref[:], xg, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(first_ref[k] == jnp.int32(1))
+    def _set():
+        ok_ref[:] = dk
+        om_ref[:] = dm
+
+    @pl.when(first_ref[k] == jnp.int32(0))
+    def _acc():
+        ok_ref[:] += dk
+        om_ref[:] += dm
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bellunion_km_matmat_pallas(A, X: jax.Array, interpret: bool = False):
+    """(K @ X, M @ X) in ONE kernel for a BELLUnion carrying both value
+    streams: the per-chunk fixed costs (SMEM column reads, the unrolled
+    X gather, the output RMW) are paid once instead of twice — they are
+    the ~15-35% of each single-stream call that is NOT value-stream
+    bytes, so the fused KM apply lands well under 2x the single apply
+    (round 4; the solver hot loop calls KM every iteration)."""
+    if A.vals_b is None:
+        raise ValueError("BELLUnion built without the second value stream")
+    n_pad, m = A.n_padded, X.shape[1]
+    b, cl = A.b, A.cl
+    CG = cl // b
+    if X.dtype != jnp.float32 or X.shape[0] * m * 4 > _VMEM_X_BUDGET:
+        raise ValueError("bellunion km kernel needs f32 X within VMEM")
+    Xp = X
+    need = A.n_cols_padded
+    if X.shape[0] < need:
+        Xp = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
+
+    kernel = functools.partial(
+        _bellunion_km_kernel, b=b, m=m, CG=CG, pack=A.pack
+    )
+    val_spec = pl.BlockSpec(
+        (128, cl), lambda k, tof, fst: (k, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (128, m), lambda k, tof, fst: (tof[k], 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A.n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, CG), lambda k, tof, fst: (k // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            val_spec,
+            val_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        ),
+        interpret=interpret,
+    )(A.tile_of, A.first, A.ucols, A.vals, A.vals_b, Xp)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "stream"))
 def bellunion_matmat_banded(
     AB, X: jax.Array, interpret: bool = False, stream: str = "a"

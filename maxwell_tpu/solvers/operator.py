@@ -173,10 +173,11 @@ class Pencil:
     def KM_mm(self, X: jax.Array):
         """(K @ X, M @ X); DistPencil overrides with collective fencing.
 
-        kernel="bellpairs": ONE fused kernel — X gathered once per slot,
-        contracted against both value streams. kernel="union" issues two
-        well-shaped applies (the gather is ~2% of the union kernel's cost,
-        so fusion buys nothing there — bench/exp_union.py)."""
+        kernel="bellpairs"/"union": ONE fused kernel — X gathered once
+        per chunk, contracted against both value streams; the per-chunk
+        fixed costs (SMEM reads, gather, output RMW — the non-value-byte
+        15-35% of a single-stream call) are paid once instead of twice
+        (round 4)."""
         if self.kernel == "bellpairs":
             from maxwell_tpu.kernels.spmm import (
                 bellpairs_km_matmat_banded,
@@ -194,6 +195,18 @@ class Pencil:
                     "X exceeds the VMEM budget and no banded split was built"
                 )
             return (Yk[:, 0], Ym[:, 0]) if vec else (Yk, Ym)
+        if (
+            self.kernel == "union"
+            and getattr(self.K, "vals_b", None) is not None
+        ):
+            from maxwell_tpu.kernels.spmm import bellunion_km_matmat_pallas
+
+            vec = X.ndim == 1
+            Xl = X[:, None] if vec else X
+            if self._bell_fits_vmem(Xl.shape[1]):
+                Yk, Ym = bellunion_km_matmat_pallas(self.K, Xl)
+                return (Yk[:, 0], Ym[:, 0]) if vec else (Yk, Ym)
+            # banded fallback: two single-stream banded applies
         return self.K_mm(X), self.M_mm(X)
 
     def Minv_mm(self, X: jax.Array) -> jax.Array:

@@ -347,3 +347,31 @@ def test_bellpairs_banded_empty_tile():
     np.testing.assert_allclose(
         np.asarray(Y)[:256], Af @ np.asarray(X), rtol=1e-5, atol=1e-5
     )
+
+
+def test_bellunion_km_fused_parity():
+    """Fused (K@X, M@X) union kernel == two single-stream applies
+    (interpret mode on CPU; round 4)."""
+    import scipy.sparse as sp
+
+    from maxwell_tpu.kernels.spmm import (
+        bellunion_km_matmat_pallas,
+        bellunion_matmat_pallas,
+    )
+    from maxwell_tpu.sparse.bellunion import BELLUnion
+
+    rng = np.random.default_rng(3)
+    n = 400
+    A = sp.random(n, n, density=0.04, format="csr", random_state=7)
+    B = sp.random(n, n, density=0.03, format="csr", random_state=8)
+    U = BELLUnion.from_csr(A, block=8, B=B, chunk_lanes=256, pack=2)
+    X = jnp.asarray(rng.standard_normal((U.n_padded, 8)), jnp.float32)
+    Yk, Ym = bellunion_km_matmat_pallas(U, X, interpret=True)
+    Yk1 = bellunion_matmat_pallas(U, X, interpret=True, stream="a")
+    Ym1 = bellunion_matmat_pallas(U, X, interpret=True, stream="b")
+    np.testing.assert_array_equal(np.asarray(Yk), np.asarray(Yk1))
+    np.testing.assert_array_equal(np.asarray(Ym), np.asarray(Ym1))
+    # and against scipy
+    ref = A @ np.asarray(X[:n], np.float64)
+    err = np.abs(np.asarray(Yk)[:n] - ref).max() / np.abs(ref).max()
+    assert err < 1e-6
