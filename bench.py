@@ -262,6 +262,28 @@ def main():
                 AU.nnz_dense * 4 + AU.ucols.size * 4 + 2 * AU.n_padded * 4,
             )
 
+            # fused (K@X, M@X) union kernel (round 4): per-chunk fixed
+            # costs paid once for both value streams
+            from maxwell_tpu.kernels.spmm import bellunion_km_matmat_pallas
+
+            AU2 = BELLUnion.from_csr(
+                cav.K, block=8, dtype=jnp.float32, B=cav.M
+            )
+            log("bellunion fused KM...")
+            t_km = _timeit_chain(
+                lambda Y: (lambda a, b: a + b)(
+                    *bellunion_km_matmat_pallas(AU2, Y)
+                ),
+                XU,
+            )
+            record(
+                "pallas_bellunion_km", t_km,
+                2 * AU2.nnz_dense * 4 + AU2.ucols.size * 4
+                + 3 * AU2.n_padded * m * 4,
+            )
+            details["km_fused_vs_2x_single_pct"] = 100.0 * 2 * t_un / t_km
+            del AU2
+
             # sharded union apply on the mesh-of-1 real chip (round-2
             # VERDICT item 1 gate: within 10% of the single-chip kernel)
             log("dist union mesh-of-1...")
