@@ -41,7 +41,7 @@ import time
 import numpy as np
 
 
-def _timeit_chain(fn, x0, iters=16, repeats=2):
+def _timeit_chain(fn, x0, iters=16, repeats=2, args=()):
     """Time `fn` (shape/dtype-preserving) as a dependent in-jit chain.
 
     Axon-runtime-proof timing (all measured on the target chip):
@@ -52,21 +52,29 @@ def _timeit_chain(fn, x0, iters=16, repeats=2):
       call's input.
     - fixed dispatch+fetch overhead over the tunnel is ~1-10 ms, so the
       estimate is the SLOPE between a k-pass and a 2k-pass chain.
+
+    args: large operands (sparse matrices) passed as jit ARGUMENTS, not
+    captured in fn's closure — closure arrays embed as CONSTANTS in the
+    HLO, and the axon remote compiler rejects payloads past ~few hundred
+    MB (HTTP 413: the fused-KM row carried 2x246 MB of values that way).
+    fn is then called as fn(y, *args).
     """
     import jax
 
     def run(k):
         f = jax.jit(
-            lambda x: jax.lax.fori_loop(0, k, lambda i, y: fn(y), x)
+            lambda x, *a: jax.lax.fori_loop(
+                0, k, lambda i, y: fn(y, *a), x
+            )
         )
-        y = f(x0)
+        y = f(x0, *args)
         np.asarray(y.ravel()[:1])  # compile + warm, host-fetch fence
         best = np.inf
         for _ in range(repeats):
-            y = f(x0)
+            y = f(x0, *args)
             t0 = time.perf_counter()
             for _i in range(3):
-                y = f(y)
+                y = f(y, *args)
             np.asarray(y.ravel()[:1])
             best = min(best, time.perf_counter() - t0)
         return best / 3.0
@@ -74,6 +82,16 @@ def _timeit_chain(fn, x0, iters=16, repeats=2):
     t1 = run(iters)
     t2 = run(2 * iters)
     return max((t2 - t1) / iters, 1e-12)
+
+
+def _timeit_retry_args(fn, x0, args=(), iters=16, attempts=2):
+    last = None
+    for _ in range(attempts):
+        try:
+            return _timeit_chain(fn, x0, iters=iters, args=args)
+        except Exception as e:  # pragma: no cover
+            last = e
+    raise last
 
 
 def _timeit_retry(fn, x0, iters=16, attempts=2):
@@ -240,8 +258,9 @@ def main():
             log("bellunion...")
             t_un = None
             try:
-                t_un = _timeit_retry(
-                    lambda Y: bellunion_matmat_pallas(AU, Y), XU
+                t_un = _timeit_retry_args(
+                    lambda Y, A_: bellunion_matmat_pallas(A_, Y), XU,
+                    args=(AU,),
                 )
                 record(
                     "pallas_bellunion", t_un,
@@ -264,11 +283,11 @@ def main():
                 XB = jax.random.normal(
                     key, (AU.n_padded, m_big), jnp.float32
                 )
-                t_band = _timeit_retry(
-                    lambda Y: bellunion_matmat_banded(AB, Y)[
+                t_band = _timeit_retry_args(
+                    lambda Y, B_: bellunion_matmat_banded(B_, Y)[
                         : AU.n_padded
                     ],
-                    XB,
+                    XB, args=(AB,),
                 )
                 record(
                     "pallas_bellunion_banded_m96", t_band,
@@ -288,8 +307,9 @@ def main():
 
                 log("spmv m=1...")
                 x1v = jax.random.normal(key, (AU.n_padded,), jnp.float32)
-                t_mv = _timeit_retry(
-                    lambda y: bellunion_matvec_pallas(AU, y), x1v
+                t_mv = _timeit_retry_args(
+                    lambda y, A_: bellunion_matvec_pallas(A_, y), x1v,
+                    args=(AU,),
                 )
                 record(
                     "spmv_m1", t_mv,
@@ -310,11 +330,11 @@ def main():
                     cav.K, block=8, dtype=jnp.float32, B=cav.M
                 )
                 log("bellunion fused KM...")
-                t_km = _timeit_retry(
-                    lambda Y: (lambda a, b: a + b)(
-                        *bellunion_km_matmat_pallas(AU2, Y)
+                t_km = _timeit_retry_args(
+                    lambda Y, A_: (lambda a, b: a + b)(
+                        *bellunion_km_matmat_pallas(A_, Y)
                     ),
-                    XU,
+                    XU, args=(AU2,),
                 )
                 record(
                     "pallas_bellunion_km", t_km,
@@ -346,7 +366,9 @@ def main():
                 X1 = jax.random.normal(
                     key, (dp1.D * dp1.L * dp1.b, m), jnp.float32
                 )
-                t_d1 = _timeit_retry(lambda Y: fmm(dp1, Y), X1)
+                t_d1 = _timeit_retry_args(
+                    lambda Y, P_: fmm(P_, Y), X1, args=(dp1,)
+                )
                 record(
                     "dist_union_mesh1", t_d1,
                     dp1.Ui_vals.size * 4 + dp1.Ui_ucols.size * 4
