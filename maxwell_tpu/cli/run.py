@@ -23,6 +23,37 @@ import sys
 import time
 
 
+def material_grids(cfg):
+    """Per-cell eps_r/mu_r from the JSON "materials" block (round 4):
+
+      "materials": {"eps_fill": {"value": 2.5,
+                                 "box": [x0, x1, y0, y1, z0, z1]},
+                    "mu_fill":  {...}}
+
+    box is in FRACTIONAL cell coordinates (0..1 per axis; default fills
+    the whole cavity). Returns (eps_r, mu_r) numpy grids or (None, None).
+    """
+    import numpy as np
+
+    mcfg = cfg.get("materials")
+    if not mcfg:
+        return None, None
+    nx, ny, nz = cfg.get("nx", 8), cfg.get("ny", 8), cfg.get("nz", 8)
+
+    def grid(spec):
+        if spec is None:
+            return None
+        g = np.ones((nx, ny, nz))
+        box = spec.get("box", [0, 1, 0, 1, 0, 1])
+        i0, i1 = int(box[0] * nx), max(int(box[1] * nx), int(box[0] * nx) + 1)
+        j0, j1 = int(box[2] * ny), max(int(box[3] * ny), int(box[2] * ny) + 1)
+        k0, k1 = int(box[4] * nz), max(int(box[5] * nz), int(box[4] * nz) + 1)
+        g[i0:i1, j0:j1, k0:k1] = spec.get("value", 1.0)
+        return g
+
+    return grid(mcfg.get("eps_fill")), grid(mcfg.get("mu_fill"))
+
+
 def build_problem(cfg):
     kind = cfg.get("kind", "rect2d")
     if kind == "rect2d":
@@ -38,6 +69,7 @@ def build_problem(cfg):
     if kind == "brick3d":
         from maxwell_tpu.problems import BrickCavity3D
 
+        eps_r, mu_r = material_grids(cfg)
         return BrickCavity3D(
             a=cfg.get("a", 1.0),
             b=cfg.get("b", 1.0),
@@ -46,6 +78,8 @@ def build_problem(cfg):
             ny=cfg.get("ny", 8),
             nz=cfg.get("nz", 8),
             bc=cfg.get("bc", "pec"),
+            eps_r=eps_r,
+            mu_r=mu_r,
         )
     if kind == "tet3d":
         # unstructured tetrahedral Nedelec on a Kuhn-triangulated brick
@@ -223,12 +257,14 @@ def main(argv=None):
             else:
                 from maxwell_tpu.problems.stencil3d import StencilPencil3D
 
+                eps_r3, mu_r3 = material_grids(pcfg)
                 pencil = StencilPencil3D.build(
                     a=pcfg.get("a", 1.0), b=pcfg.get("b", 1.0),
                     c=pcfg.get("c", 1.0), nx=pcfg.get("nx", 8),
                     ny=pcfg.get("ny", 8), nz=pcfg.get("nz", 8),
                     dtype=dtype, block=block or 8,
                     bc=pcfg.get("bc", "pec"),
+                    eps_r=eps_r3, mu_r=mu_r3,
                 )
         else:
             from maxwell_tpu.solvers.operator import Pencil
@@ -392,7 +428,12 @@ def main(argv=None):
     }
     if t_refine is not None:
         report["t_refine_s"] = t_refine
-    if kind != "shift_invert" and cfg.get("problem", {}).get("bc", "pec") == "pec":
+    if (
+        kind != "shift_invert"
+        and cfg.get("problem", {}).get("bc", "pec") == "pec"
+        and not cfg.get("problem", {}).get("materials")
+    ):
+        # (loaded cavities have no closed-form modes — no analytic row)
         # analytic oracle lists the SMALLEST PEC modes
         try:
             pcfg = cfg.get("problem", {})
