@@ -179,6 +179,27 @@ class StencilPencil2D:
             dot=self.dot_cols,
         )
 
+    def _g_grid(self, q):
+        """(n_padded, m) <- G q for interior nodal q (grid-form; round 4)."""
+        nx, ny = self.nx, self.ny
+        hx, hy = self.a / nx, self.b / ny
+        m = q.shape[1]
+        phin = jnp.zeros((nx + 1, ny + 1, m), q.dtype)
+        phin = phin.at[1:nx, 1:ny].set(q.reshape(nx - 1, ny - 1, m))
+        Ex = (phin[1:] - phin[:-1]) / hx
+        Ey = (phin[:, 1:] - phin[:, :-1]) / hy
+        return self._from_grids(Ex, Ey, m) * self.mask[:, None]
+
+    def _gt_grid(self, Y):
+        """((nx-1)(ny-1), m) <- G^T Y over interior nodes (grid-form)."""
+        nx, ny = self.nx, self.ny
+        hx, hy = self.a / nx, self.b / ny
+        Yl = Y * self.mask[:, None]
+        Ex, Ey = self._to_grids(Yl)
+        acc = (Ex[:-1, 1:ny] - Ex[1:, 1:ny]) / hx
+        acc = acc + (Ey[1:nx, :-1] - Ey[1:nx, 1:]) / hy
+        return acc.reshape(-1, Y.shape[1])
+
     def project(self, X):
         """Mask PEC dims AND remove the gradient component. Applied to the
         start block and every new search direction, this keeps all solver
@@ -187,11 +208,13 @@ class StencilPencil2D:
         if self.proj is None:
             return Xm
         if self.fastproj is not None:
+            # grid-form G (round 4; see stencil3d._g_grid — the index
+            # gather/scatter formulation is pathological on TPU)
             vec = Xm.ndim == 1
             Xl = Xm[:, None] if vec else Xm
-            rhs = self.proj.gt_mm(self.M_mm(Xl))
+            rhs = self._gt_grid(self.M_mm(Xl))
             q = self.fastproj.solve(rhs)
-            out = Xl - self.proj.g_mm(q) * self.mask[:, None]
+            out = Xl - self._g_grid(q)
             return out[:, 0] if vec else out
         return self.proj.project(self.M_mm, Xm)
 
