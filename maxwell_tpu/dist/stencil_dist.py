@@ -795,22 +795,48 @@ class DistStencilPencil3D:
             + (nx + 1) * (ny + 1) * nz
         )
 
+    def _scatter_idx(self):
+        """Device gather map for the global->stacked layout (cached on
+        the instance, host-side attribute): stacked row r reads global
+        row idx[r] (or is padding where valid == 0). Built once by
+        pushing an index vector through scatter_vector. Lets make_block /
+        inject_vectors run as a DEVICE gather instead of a host scatter —
+        over the axon tunnel the old path cost two ~30 MB transfers per
+        call (download the random block, upload the scattered one), a
+        multi-second fixed cost on every distributed solve (round 4)."""
+        cached = self.__dict__.get("_scatter_idx_cache")
+        if cached is None:
+            marker = self.scatter_vector(
+                np.arange(1, self.n_full + 1, dtype=np.float64)
+            )
+            idx = np.asarray(marker, np.int64) - 1
+            valid = idx >= 0
+            cached = (
+                jnp.asarray(np.maximum(idx, 0).astype(np.int32)),
+                jnp.asarray(valid.astype(np.dtype(self.dtype))),
+            )
+            object.__setattr__(self, "_scatter_idx_cache", cached)
+        return cached
+
     def make_block(self, key, m: int):
-        """Random start block: generated in the GLOBAL stencil layout and
-        scattered so interface copies are consistent."""
-        xg = np.asarray(
-            jax.random.normal(key, (self.n_full, m), dtype=self.dtype)
-        )
-        return jnp.asarray(self.scatter_vector(xg))
+        """Random start block: generated in the GLOBAL stencil layout
+        (so interface copies are consistent) and scattered ON DEVICE."""
+        idx, valid = self._scatter_idx()
+        xg = jax.random.normal(key, (self.n_full, m), dtype=self.dtype)
+        return xg[idx] * valid[:, None]
 
     def extract_vectors(self, X_stacked: np.ndarray) -> np.ndarray:
         return self.gather_vector(np.asarray(X_stacked))
 
-    def inject_vectors(self, X_orig: np.ndarray):
-        """Original (global stencil) ordering -> stacked local layout."""
-        return jnp.asarray(
-            self.scatter_vector(np.asarray(X_orig)), dtype=self.dtype
-        )
+    def inject_vectors(self, X_orig):
+        """Original (global stencil) ordering -> stacked local layout
+        (device gather: one upload, no host scatter round-trip)."""
+        idx, valid = self._scatter_idx()
+        X = jnp.asarray(np.asarray(X_orig), dtype=self.dtype)
+        vec = X.ndim == 1
+        Xl = X[:, None] if vec else X
+        out = Xl[idx] * valid[:, None]
+        return out[:, 0] if vec else out
 
     # --- host-side layout conversion ----------------------------------------
     def scatter_vector(self, x_full: np.ndarray) -> np.ndarray:

@@ -195,7 +195,9 @@ def lobpcg_dist(
         {"iter": prev_iters + i, "max_rel_res": float(h)}
         for i, h in enumerate(np.asarray(hist)[: int(it)])
     ]
-    vecs = dpencil.extract_vectors(np.asarray(X)[:, :nev])
+    # slice to the wanted columns ON DEVICE before the host fetch — the
+    # full m-wide block is tens of MB over the axon tunnel (round 4)
+    vecs = dpencil.extract_vectors(np.asarray(X[:, :nev]))
     return EigenResult(
         eigenvalues=theta,
         eigenvectors=vecs,
