@@ -208,16 +208,31 @@ def refine_dw_dist(
     Xh = dpencil.inject_vectors(X)
     Xl = jnp.zeros_like(Xh)
 
-    def _sweep_local(p, sdef, Xh, Xl):
-        th, tl, res, Rh, Rl = _rq_and_residual_dist(p, Xh, Xl)
-        sigma = th * jnp.float32(1.0 - sigma_rel)
-        W = sdef.solve_sigma(p, Rh, sigma) * p.mask[:, None]
-        Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
-        return Xh2, Xl2, th, tl, res
+    def _sweeps_local(p, sdef, Xh, Xl):
+        """ALL sweeps in one compiled fori_loop: each host->device
+        dispatch costs seconds over the axon tunnel, so the per-sweep
+        python loop paid ~max_sweeps dispatches for ~10 ms of compute
+        each (measured: the distributed refine was ~20 s of latency).
+        Fixed sweep count — the per-sweep early exit is not worth a
+        dispatch per sweep."""
 
-    sweep = jax.jit(
+        def body(i, carry):
+            Xh, Xl, _, _, _ = carry
+            th, tl, res, Rh, Rl = _rq_and_residual_dist(p, Xh, Xl)
+            sigma = th * jnp.float32(1.0 - sigma_rel)
+            W = sdef.solve_sigma(p, Rh, sigma) * p.mask[:, None]
+            Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
+            return Xh2, Xl2, th, tl, res
+
+        m_ = Xh.shape[1]
+        z = jnp.zeros((m_,), Xh.dtype)
+        return jax.lax.fori_loop(
+            0, max_sweeps, body, (Xh, Xl, z, z, z)
+        )
+
+    sweep_all = jax.jit(
         jax.shard_map(
-            _sweep_local, mesh=mesh,
+            _sweeps_local, mesh=mesh,
             in_specs=(
                 dpencil.partition_specs(), sol.partition_specs(), row, row,
             ),
@@ -273,13 +288,14 @@ def refine_dw_dist(
         )
     )
 
-    hist = []
-    for sweepi in range(max_sweeps):
-        Xh, Xl, th, tl, res = sweep(dpencil, sol, Xh, Xl)
-        r = np.asarray(res)
-        hist.append({"iter": sweepi, "max_rel_res": float(r.max())})
-        if r.max() <= tol * 0.3:
-            break
+    Xh, Xl, th, tl, res = sweep_all(dpencil, sol, Xh, Xl)
+    hist = [
+        {
+            "iter": max_sweeps - 1,
+            "max_rel_res": float(np.asarray(res).max()),
+            "note": "pre-update residual of the LAST sweep",
+        }
+    ]
 
     Ah, Al, Bh, Bl = grams(dpencil, Xh, Xl)
     A = tf.dw_to_f64(np.asarray(Ah), np.asarray(Al))
