@@ -211,6 +211,16 @@ def main(argv=None):
         from maxwell_tpu.solvers.dist_solve import lobpcg_dist
 
         D = cfg.get("dist", {}).get("n_shards", len(jax.devices()))
+        if D > len(jax.devices()):
+            # degenerate-mesh rule (SURVEY.md §4): the same SPMD program
+            # runs at any device count — clamp so configs written for the
+            # simulated 8-device mesh run on the single real chip
+            print(
+                f"dist.n_shards={D} > {len(jax.devices())} visible "
+                f"device(s): clamping (mesh-of-{len(jax.devices())})",
+                file=sys.stderr, flush=True,
+            )
+            D = len(jax.devices())
         pcfg = cfg.get("problem", {})
         if stg.get("operator") == "stencil":
             if pcfg.get("kind") != "brick3d":
@@ -239,6 +249,14 @@ def main(argv=None):
             precond_iters=scfg.get("precond_iters", 20),
             checkpoint=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            batch=scfg.get("batch"),
+            # when a refinement pass follows, cut at the f32 floor and
+            # return the best iterate instead of bouncing to maxiter
+            # (round 4: an unstalled f32 dist solve at tol below its
+            # floor returned a degraded final block)
+            stall_window=scfg.get(
+                "stall_window", 15 if want_refine else 0
+            ),
         )
     else:
         pcfg = cfg.get("problem", {})

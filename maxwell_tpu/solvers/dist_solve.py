@@ -37,6 +37,7 @@ def _spectral_dist_apply(solver, pencil, R):
 def _run_local(
     pencil, X0, spectral, Qlock, maxiter, tol, nev, precond_alpha,
     precond_iters, checkpoint_every=0, checkpoint_path=None, prev_iters=0,
+    stall_window=0,
 ):
     """Body executed per shard: project the start block, build the local
     preconditioner (exact distributed spectral solve when provided), run
@@ -59,7 +60,7 @@ def _run_local(
         pencil, X0, maxiter, tol, precond, nev=nev,
         Qlock=Qlock, MQlock=MQlock,
         checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
-        prev_iters=prev_iters,
+        prev_iters=prev_iters, stall_window=stall_window,
     )
 
 
@@ -79,6 +80,7 @@ def lobpcg_dist(
     precond: str = "auto",
     deflate_Q: np.ndarray | None = None,
     batch: int | None = None,
+    stall_window: int = 0,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
@@ -108,7 +110,7 @@ def lobpcg_dist(
             dpencil, mesh, nev=nev, batch=batch, m=m, maxiter=maxiter,
             tol=tol, key=key, precond_alpha=precond_alpha,
             precond_iters=precond_iters, precond=precond,
-            deflate_Q=deflate_Q,
+            deflate_Q=deflate_Q, stall_window=stall_window,
         )
     if m is None:
         m = nev + max(4, nev // 2)
@@ -163,6 +165,7 @@ def lobpcg_dist(
         checkpoint_every=checkpoint_every if checkpoint else 0,
         checkpoint_path=checkpoint,
         prev_iters=prev_iters,
+        stall_window=stall_window,
     )
     spec_specs = (
         None if spectral is None else spectral.partition_specs()
@@ -210,7 +213,7 @@ def lobpcg_dist(
 
 def _lobpcg_dist_staged(
     dpencil, mesh, nev, batch, m, maxiter, tol, key, precond_alpha,
-    precond_iters, precond, deflate_Q,
+    precond_iters, precond, deflate_Q, stall_window=0,
 ):
     """Incremental deflated multi-eigenpair solve (SURVEY.md §3.3 "lock
     converged columns"; BASELINE.json:11 "deflated 20-eigenpair solve").
@@ -234,7 +237,7 @@ def _lobpcg_dist_staged(
             dpencil, mesh, nev=k, m=None if m is None else min(m, k + 4),
             maxiter=maxiter, tol=tol, key=jax.random.fold_in(key, stage),
             precond_alpha=precond_alpha, precond_iters=precond_iters,
-            precond=precond, deflate_Q=Q,
+            precond=precond, deflate_Q=Q, stall_window=stall_window,
         )
         vals.append(res.eigenvalues)
         vecs.append(res.eigenvectors)
