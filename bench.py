@@ -725,7 +725,7 @@ def main():
                 nx=64, ny=64, nz=64, D=1, dtype=jnp.float32
             )
             kwd = dict(nev=5, maxiter=40, tol=2e-6, precond="spectral",
-                       precond_alpha=15.0)
+                       precond_alpha=15.0, stall_window=10)
             t0 = time.perf_counter()
             resd = lobpcg_dist(dsp, mesh1, **kwd)
             td_total = time.perf_counter() - t0

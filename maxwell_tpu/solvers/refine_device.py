@@ -88,6 +88,27 @@ def _sweep(pencil, sol, Xh, Xl, sigma_rel: float = 3e-3):
     return Xh2, Xl2, th, tl, res
 
 
+@partial(jax.jit, static_argnames=("sigma_rel", "n_sweeps"))
+def _sweeps_fused(pencil, sol, Xh, Xl, sigma_rel: float, n_sweeps: int):
+    """Fixed number of exact-solve sweeps in ONE compiled fori_loop: each
+    host dispatch costs O(0.1-1 s) over the axon tunnel against ~50 ms of
+    device compute per sweep, so the per-sweep python loop was
+    latency-bound (round 4). The early-exit is dropped — surplus sweeps
+    at the dw floor are harmless and cheaper than one dispatch."""
+
+    def body(i, carry):
+        Xh, Xl, _, _, _ = carry
+        th, tl, res, Rh, Rl = _rq_and_residual(pencil, Xh, Xl)
+        sigma = th * jnp.float32(1.0 - sigma_rel)
+        W = sol.solve_sigma(Rh, sigma) * pencil.mask[:, None]
+        Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
+        return Xh2, Xl2, th, tl, res
+
+    m_ = Xh.shape[1]
+    z = jnp.zeros((m_,), Xh.dtype)
+    return jax.lax.fori_loop(0, n_sweeps, body, (Xh, Xl, z, z, z))
+
+
 @partial(jax.jit, static_argnames=("sigma_rel", "inner_iters"))
 def _sweep_approx(
     pencil, sol, Xh, Xl, sigma_rel: float = 3e-3, inner_iters: int = 32
@@ -369,22 +390,30 @@ def refine_dw(
 
     hist = []
     res = None
-    for sweep in range(max_sweeps):
-        if exact:
-            Xh, Xl, th, tl, res = _sweep(
-                pencil, sol, Xh, Xl, sigma_rel=sigma_rel
-            )
-        else:
+    if exact:
+        # all sweeps in one compiled dispatch (tunnel-latency bound
+        # otherwise); exact sweeps converge in 3-4, surplus is free
+        Xh, Xl, th, tl, res = _sweeps_fused(
+            pencil, sol, Xh, Xl, sigma_rel=sigma_rel,
+            n_sweeps=min(max_sweeps, 5),
+        )
+        hist.append({
+            "iter": min(max_sweeps, 5) - 1,
+            "max_rel_res": float(np.asarray(res).max()),
+            "note": "pre-update residual of the LAST fused sweep",
+        })
+    else:
+        for sweep in range(max_sweeps):
             Xh, Xl, th, tl, res = _sweep_approx(
                 pencil, sol, Xh, Xl, sigma_rel=sigma_rel,
                 inner_iters=inner_iters,
             )
-        r = np.asarray(res)
-        # `res` is the PRE-update residual: sweep k reports the block
-        # BEFORE its correction, so convergence lags one sweep behind
-        hist.append({"iter": sweep, "max_rel_res": float(r.max())})
-        if r.max() <= tol * 0.3:
-            break
+            r = np.asarray(res)
+            # `res` is the PRE-update residual: sweep k reports the
+            # block BEFORE its correction — convergence lags one sweep
+            hist.append({"iter": sweep, "max_rel_res": float(r.max())})
+            if r.max() <= tol * 0.3:
+                break
 
     # final Rayleigh-Ritz: separate degenerate clusters, f64-exact on the
     # (m, m) pencil; rotation applied in dw on device
