@@ -635,6 +635,66 @@ def main():
         except Exception as e:  # pragma: no cover
             details["lobpcg_64_error"] = repr(e)[:400]
 
+    # ---- 3b0. scale demonstration: 128^3 = 6.39M DOFs on ONE chip
+    # (round 4): f32 spectral-preconditioned LOBPCG (grid-independent
+    # ~32 iterations) + on-device dw refinement to 1e-8. Compiles are
+    # one-time per machine (persistent cache).
+    if on_tpu and not int(__import__("os").environ.get(
+        "MAXWELL_TPU_BENCH_SKIP_128", "0"
+    )):
+        try:
+            from maxwell_tpu.problems.stencil3d import StencilPencil3D
+            from maxwell_tpu.solvers.refine_device import refine_dw
+            from maxwell_tpu.solvers.spectral import (
+                spectral_preconditioner,
+            )
+
+            log("lobpcg 128^3 stencil (6.39M DOFs)...")
+            stpXL = StencilPencil3D.build(nx=128, ny=128, nz=128,
+                                          dtype=jnp.float32)
+            pcXL = spectral_preconditioner(stpXL, alpha=15.0)
+            kwXL = dict(nev=5, maxiter=60, tol=2e-6, precond=pcXL,
+                        stall_window=10)
+            t0 = time.perf_counter()
+            rXL = lobpcg(stpXL, **kwXL)
+            tXL = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rXL = lobpcg(stpXL, **kwXL)
+            tXL_run = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            refXL = refine_dw(stpXL, rXL.eigenvectors, tol=1e-8)
+            tXLr = time.perf_counter() - t0
+            details["lobpcg_128_n"] = int(stpXL.n)
+            details["lobpcg_128_compile_s"] = tXL - tXL_run
+            details["lobpcg_128_solve_s"] = tXL_run
+            details["lobpcg_128_iters"] = int(rXL.iterations)
+            details["time_to_1e8_128_s"] = tXL_run + tXLr
+            details["time_to_1e8_128_refine_s"] = tXLr
+            details["time_to_1e8_128_converged"] = bool(refXL.converged)
+            details["time_to_1e8_128_max_res"] = float(
+                refXL.residuals.max()
+            )
+            from maxwell_tpu.problems.analytic import (
+                cavity_eigenvalues_3d as _ana3,
+            )
+
+            relXL = np.abs(
+                np.sort(refXL.eigenvalues) / _ana3(1.0, 1.0, 1.0, 5) - 1.0
+            )
+            details["time_to_1e8_128_analytic_rel_err"] = float(
+                relXL.max()
+            )
+            log(
+                f"  time_to_1e8_128: {tXL_run + tXLr:.1f}s "
+                f"(solve {tXL_run:.1f} + refine {tXLr:.1f}) res "
+                f"{refXL.residuals.max():.1e} rel_err {relXL.max():.1e}"
+            )
+            if relXL.max() > 1e-3:
+                parity_ok = False
+            del stpXL, rXL, refXL
+        except Exception as e:  # pragma: no cover
+            details["lobpcg_128_error"] = repr(e)[:400]
+
     # ---- 3b1. loaded-cavity (dielectric) solve at 32^3 (round-3 VERDICT
     # item 9): vacuum spectral solve as the approximate preconditioner
     if on_tpu:
