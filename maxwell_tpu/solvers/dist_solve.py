@@ -81,6 +81,7 @@ def lobpcg_dist(
     deflate_Q: np.ndarray | None = None,
     batch: int | None = None,
     stall_window: int = 0,
+    return_device: bool = False,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
@@ -104,7 +105,11 @@ def lobpcg_dist(
     hard-locking each stage's converged block before the next (the
     reference-class "deflated 20-eigenpair solve" workflow,
     BASELINE.json:11): later stages iterate a smaller active block, so
-    per-iteration cost drops as pairs lock."""
+    per-iteration cost drops as pairs lock.
+    return_device: keep the eigenvector block ON DEVICE — eigenvectors is
+    the sharded (D*n_loc_pad, nev) jax.Array in the STACKED layout, the
+    zero-transfer handoff format of refine_dw_dist (round-4 VERDICT
+    item 1). Ignored by the staged `batch` path."""
     if batch is not None and batch < nev:
         return _lobpcg_dist_staged(
             dpencil, mesh, nev=nev, batch=batch, m=m, maxiter=maxiter,
@@ -200,7 +205,10 @@ def lobpcg_dist(
     ]
     # slice to the wanted columns ON DEVICE before the host fetch — the
     # full m-wide block is tens of MB over the axon tunnel (round 4)
-    vecs = dpencil.extract_vectors(np.asarray(X[:, :nev]))
+    if return_device:
+        vecs = X[:, :nev]
+    else:
+        vecs = dpencil.extract_vectors(np.asarray(X[:, :nev]))
     return EigenResult(
         eigenvalues=theta,
         eigenvectors=vecs,

@@ -285,6 +285,7 @@ def lobpcg(
     log_every: int = 0,
     stall_window: int = 0,
     batch: int | None = None,
+    return_device: bool = False,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
@@ -305,6 +306,11 @@ def lobpcg(
     SpMM/RR (SURVEY.md §2 C12 "locking"): per-iteration cost drops as
     pairs lock, at the price of one recompile per stage (amortized by
     the persistent compilation cache).
+    return_device: keep the eigenvector block ON DEVICE — eigenvectors is
+    a (n_padded, nev) jax.Array in the pencil's padded layout, suitable
+    for a zero-transfer handoff to refine_dw (round-4 VERDICT item 1:
+    over the axon tunnel a 128^3 block costs tens of seconds each way).
+    Ignored by the staged `batch` path (stages concatenate on host).
     """
     if batch is not None and batch < nev:
         Q = deflate_Q
@@ -402,9 +408,10 @@ def lobpcg(
         {"iter": prev_iters + i, "max_rel_res": float(h)}
         for i, h in enumerate(np.asarray(hist)[: int(it)])
     ]
+    vecs = X[:, :nev] if return_device else np.asarray(X[:n, :nev])
     return EigenResult(
         eigenvalues=theta,
-        eigenvectors=np.asarray(X[:n, :nev]),
+        eigenvectors=vecs,
         residuals=np.asarray(res)[:nev],
         iterations=prev_iters + int(it),
         converged=bool(np.asarray(res)[:nev].max() <= tol),

@@ -88,25 +88,39 @@ def _sweep(pencil, sol, Xh, Xl, sigma_rel: float = 3e-3):
     return Xh2, Xl2, th, tl, res
 
 
-@partial(jax.jit, static_argnames=("sigma_rel", "n_sweeps"))
-def _sweeps_fused(pencil, sol, Xh, Xl, sigma_rel: float, n_sweeps: int):
-    """Fixed number of exact-solve sweeps in ONE compiled fori_loop: each
-    host dispatch costs O(0.1-1 s) over the axon tunnel against ~50 ms of
-    device compute per sweep, so the per-sweep python loop was
-    latency-bound (round 4). The early-exit is dropped — surplus sweeps
-    at the dw floor are harmless and cheaper than one dispatch."""
+@partial(jax.jit, static_argnames=("sigma_rel", "n_sweeps", "stop_tol"))
+def _sweeps_fused(
+    pencil, sol, Xh, Xl, sigma_rel: float, n_sweeps: int,
+    stop_tol: float = 0.0,
+):
+    """Exact-solve sweeps in ONE compiled while_loop: each host dispatch
+    costs O(0.1-1 s) over the axon tunnel against ~50 ms of device compute
+    per sweep, so a per-sweep python loop would be latency-bound (round
+    4). The early exit lives INSIDE the loop (round-4 VERDICT item 5: a
+    fixed count calibrated at 64^3 wasted ~2 surplus sweeps' worth of
+    spectral transforms at 128^3): the carried residual is the pre-update
+    residual of the previous sweep, so the loop stops one sweep after the
+    block first measures <= stop_tol — that last update is applied, so
+    the final residual lands well below."""
 
-    def body(i, carry):
-        Xh, Xl, _, _, _ = carry
+    def cond(carry):
+        _, _, _, _, res, i = carry
+        return jnp.logical_and(i < n_sweeps, jnp.max(res) > stop_tol)
+
+    def body(carry):
+        Xh, Xl, _, _, _, i = carry
         th, tl, res, Rh, Rl = _rq_and_residual(pencil, Xh, Xl)
         sigma = th * jnp.float32(1.0 - sigma_rel)
         W = sol.solve_sigma(Rh, sigma) * pencil.mask[:, None]
         Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
-        return Xh2, Xl2, th, tl, res
+        return Xh2, Xl2, th, tl, res, i + 1
 
     m_ = Xh.shape[1]
     z = jnp.zeros((m_,), Xh.dtype)
-    return jax.lax.fori_loop(0, n_sweeps, body, (Xh, Xl, z, z, z))
+    res0 = jnp.full((m_,), jnp.inf, Xh.dtype)
+    return jax.lax.while_loop(
+        cond, body, (Xh, Xl, z, z, res0, jnp.int32(0))
+    )
 
 
 @partial(jax.jit, static_argnames=("sigma_rel", "inner_iters"))
@@ -139,21 +153,27 @@ def _sweep_approx(
 
 
 @partial(
-    jax.jit, static_argnames=("sigma_rel", "inner_iters", "n_sweeps")
+    jax.jit,
+    static_argnames=("sigma_rel", "inner_iters", "n_sweeps", "stop_tol"),
 )
 def _sweeps_approx_fused(
-    pencil, sol, Xh, Xl, sigma_rel: float, inner_iters: int, n_sweeps: int
+    pencil, sol, Xh, Xl, sigma_rel: float, inner_iters: int,
+    n_sweeps: int, stop_tol: float = 0.0,
 ):
-    """Fixed count of approximate-solve sweeps in one compiled fori_loop
-    (same tunnel-latency rationale as _sweeps_fused; each sweep is an
-    inner preconditioned-MINRES solve, ~150 ms of device compute vs
+    """Approximate-solve sweeps in one compiled while_loop (same
+    tunnel-latency and early-exit rationale as _sweeps_fused; each sweep
+    is an inner preconditioned-MINRES solve, ~150 ms of device compute vs
     seconds of dispatch)."""
     from maxwell_tpu.solvers.minres import pminres_block
 
     mk = pencil.mask[:, None]
 
-    def body(i, carry):
-        Xh, Xl, _, _, _ = carry
+    def cond(carry):
+        _, _, _, _, res, i = carry
+        return jnp.logical_and(i < n_sweeps, jnp.max(res) > stop_tol)
+
+    def body(carry):
+        Xh, Xl, _, _, _, i = carry
         th, tl, res, Rh, Rl = _rq_and_residual(pencil, Xh, Xl)
         sigma = th * jnp.float32(1.0 - sigma_rel)
 
@@ -165,11 +185,14 @@ def _sweeps_approx_fused(
 
         W = pminres_block(A_mv, P_mv, Rh, iters=inner_iters) * mk
         Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
-        return Xh2, Xl2, th, tl, res
+        return Xh2, Xl2, th, tl, res, i + 1
 
     m_ = Xh.shape[1]
     z = jnp.zeros((m_,), Xh.dtype)
-    return jax.lax.fori_loop(0, n_sweeps, body, (Xh, Xl, z, z, z))
+    res0 = jnp.full((m_,), jnp.inf, Xh.dtype)
+    return jax.lax.while_loop(
+        cond, body, (Xh, Xl, z, z, res0, jnp.int32(0))
+    )
 
 
 @jax.jit
@@ -189,6 +212,15 @@ def _rotate(Xh, Xl, Ch, Cl):
 def _final_residual(pencil, Xh, Xl):
     th, tl, res, _, _ = _rq_and_residual(pencil, Xh, Xl)
     return th, tl, res
+
+
+@jax.jit
+def _rotate_final(pencil, Xh, Xl, Ch, Cl):
+    """RR rotation + fresh dw residual in ONE dispatch (each dispatch
+    costs O(0.1-1 s) of axon-tunnel latency against ms of compute)."""
+    Xh, Xl = tf.dw_matmul_small(Xh, Xl, Ch, Cl)
+    th, tl, res, _, _ = _rq_and_residual(pencil, Xh, Xl)
+    return Xh, Xl, th, tl, res
 
 
 def _dw_allsum_pairs(h, l, axis, D: int):
@@ -236,6 +268,7 @@ def refine_dw_dist(
     tol: float = 1e-8,
     max_sweeps: int = 6,
     sigma_rel: float = 3e-3,
+    return_device: bool = False,
 ):
     """DISTRIBUTED on-device refinement to 1e-8 (round 4): the same dw
     RQI as refine_dw, shard_mapped over the slab mesh — dw slab tap
@@ -244,9 +277,17 @@ def refine_dw_dist(
     Host work per run: sweep-loop orchestration + one (m, m) f64 eigh.
 
     dpencil: vacuum DistStencilPencil3D (taps_dw present).
-    X: (n, m) eigenvector block in the ORIGINAL (global stencil)
-    ordering — e.g. lobpcg_dist(...).eigenvectors. Returns EigenResult in
-    the same ordering with f64-reconstructed vectors."""
+    X: either a host (n, m) block in the ORIGINAL (global stencil)
+    ordering, or a DEVICE (D*n_loc_pad, m) block in the STACKED layout
+    as returned by lobpcg_dist(..., return_device=True) — the
+    device-resident handoff skips two multi-MB axon-tunnel transfers
+    per call (round-4 VERDICT item 1: 33 s of the 47 s distributed
+    headline was transfer of data that never needed to leave the chip).
+
+    return_device=False: EigenResult in the original ordering with
+    f64-reconstructed host vectors. return_device=True: eigenvectors is
+    the ON-DEVICE dw pair (Xh, Xl) in the stacked layout; only
+    (m,)-sized eigenvalues/residuals are fetched."""
     from jax.sharding import PartitionSpec as P
 
     from maxwell_tpu.solvers.spectral import DistSpectralShift
@@ -257,32 +298,45 @@ def refine_dw_dist(
     axis = dpencil.axis
     row = P(axis, None)
 
-    X = np.asarray(X, np.float32)
-    if X.ndim == 1:
-        X = X[:, None]
-    Xh = dpencil.inject_vectors(X)
+    if isinstance(X, jax.Array) and X.ndim == 2 and (
+        X.shape[0] == dpencil.global_rows
+    ):
+        Xh = X.astype(jnp.float32)  # stacked layout, stays on device
+    else:
+        X = np.asarray(X, np.float32)
+        if X.ndim == 1:
+            X = X[:, None]
+        Xh = dpencil.inject_vectors(X)
     Xl = jnp.zeros_like(Xh)
 
     def _sweeps_local(p, sdef, Xh, Xl):
-        """ALL sweeps in one compiled fori_loop: each host->device
+        """ALL sweeps in one compiled while_loop: each host->device
         dispatch costs seconds over the axon tunnel, so the per-sweep
         python loop paid ~max_sweeps dispatches for ~10 ms of compute
         each (measured: the distributed refine was ~20 s of latency).
-        Fixed sweep count — the per-sweep early exit is not worth a
-        dispatch per sweep."""
+        The early exit is on the REPLICATED residual (identical on every
+        shard by construction — psum-completed), so all shards agree on
+        the trip count."""
 
-        def body(i, carry):
-            Xh, Xl, _, _, _ = carry
+        def cond(carry):
+            _, _, _, _, res, i = carry
+            return jnp.logical_and(
+                i < max_sweeps, jnp.max(res) > tol
+            )
+
+        def body(carry):
+            Xh, Xl, _, _, _, i = carry
             th, tl, res, Rh, Rl = _rq_and_residual_dist(p, Xh, Xl)
             sigma = th * jnp.float32(1.0 - sigma_rel)
             W = sdef.solve_sigma(p, Rh, sigma) * p.mask[:, None]
             Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
-            return Xh2, Xl2, th, tl, res
+            return Xh2, Xl2, th, tl, res, i + 1
 
         m_ = Xh.shape[1]
         z = jnp.zeros((m_,), Xh.dtype)
-        return jax.lax.fori_loop(
-            0, max_sweeps, body, (Xh, Xl, z, z, z)
+        res0 = jnp.full((m_,), jnp.inf, Xh.dtype)
+        return jax.lax.while_loop(
+            cond, body, (Xh, Xl, z, z, res0, jnp.int32(0))
         )
 
     sweep_all = jax.jit(
@@ -291,7 +345,7 @@ def refine_dw_dist(
             in_specs=(
                 dpencil.partition_specs(), sol.partition_specs(), row, row,
             ),
-            out_specs=(row, row, P(), P(), P()),
+            out_specs=(row, row, P(), P(), P(), P()),
             check_vma=False,
         )
     )
@@ -318,35 +372,26 @@ def refine_dw_dist(
         )
     )
 
-    def _rot_local(Xh, Xl, Ch, Cl):
-        return tf.dw_matmul_small(Xh, Xl, Ch, Cl)
-
-    rotate = jax.jit(
-        jax.shard_map(
-            _rot_local, mesh=mesh,
-            in_specs=(row, row, P(), P()),
-            out_specs=(row, row),
-            check_vma=False,
-        )
-    )
-
-    def _final_local(p, Xh, Xl):
+    def _rotfin_local(p, Xh, Xl, Ch, Cl):
+        """RR rotation + fresh residual in ONE dispatch (tunnel latency)."""
+        Xh, Xl = tf.dw_matmul_small(Xh, Xl, Ch, Cl)
         th, tl, res, _, _ = _rq_and_residual_dist(p, Xh, Xl)
-        return th, tl, res
+        return Xh, Xl, th, tl, res
 
-    final = jax.jit(
+    rotate_final = jax.jit(
         jax.shard_map(
-            _final_local, mesh=mesh,
-            in_specs=(dpencil.partition_specs(), row, row),
-            out_specs=(P(), P(), P()),
+            _rotfin_local, mesh=mesh,
+            in_specs=(dpencil.partition_specs(), row, row, P(), P()),
+            out_specs=(row, row, P(), P(), P()),
             check_vma=False,
         )
     )
 
-    Xh, Xl, th, tl, res = sweep_all(dpencil, sol, Xh, Xl)
+    Xh, Xl, th, tl, res, sweeps = sweep_all(dpencil, sol, Xh, Xl)
+    sweeps = int(sweeps)
     hist = [
         {
-            "iter": max_sweeps - 1,
+            "iter": sweeps - 1,
             "max_rel_res": float(np.asarray(res).max()),
             "note": "pre-update residual of the LAST sweep",
         }
@@ -359,19 +404,23 @@ def refine_dw_dist(
 
     theta64, C = scipy.linalg.eigh(0.5 * (A + A.T), 0.5 * (B + B.T))
     Ch, Cl = tf.dw_from_f64(C)
-    Xh, Xl = rotate(Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl))
-
-    th, tl, res = final(dpencil, Xh, Xl)
+    Xh, Xl, th, tl, res = rotate_final(
+        dpencil, Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl)
+    )
     theta = tf.dw_to_f64(np.asarray(th), np.asarray(tl))
     res = np.asarray(res)
     hist.append({"iter": len(hist), "max_rel_res": float(res.max())})
-    Xh_np = dpencil.extract_vectors(np.asarray(Xh))
-    Xl_np = dpencil.extract_vectors(np.asarray(Xl))
+    if return_device:
+        vecs = (Xh, Xl)
+    else:
+        Xh_np = dpencil.extract_vectors(np.asarray(Xh))
+        Xl_np = dpencil.extract_vectors(np.asarray(Xl))
+        vecs = tf.dw_to_f64(Xh_np, Xl_np)
     return EigenResult(
         eigenvalues=theta,
-        eigenvectors=tf.dw_to_f64(Xh_np, Xl_np),
+        eigenvectors=vecs,
         residuals=res,
-        iterations=len(hist),
+        iterations=sweeps + 1,
         converged=bool(res.max() <= tol),
         history=hist,
     )
@@ -384,18 +433,29 @@ def refine_dw(
     max_sweeps: int | None = None,
     sigma_rel: float = 3e-3,
     inner_iters: int = 32,
+    return_device: bool = False,
 ) -> EigenResult:
-    """Refine approximate eigenvectors X (n, m) of a PEC stencil pencil
-    to `tol` relative residual ON THE DEVICE (see module doc).
+    """Refine approximate eigenvectors X of a PEC stencil pencil to `tol`
+    relative residual ON THE DEVICE (see module doc).
 
     Vacuum pencils (taps_dw) use the EXACT per-column spectral shift
     solve per sweep; LOADED PEC pencils (ftaps + dw field coefficients)
     solve each sweep's correction by preconditioned block MINRES with
     the vacuum solve as SPD preconditioner (`inner_iters` steps).
 
-    X: f32 block from the f32 LOBPCG (residuals ~1e-3..1e-5). The result's
-    eigenvectors/eigenvalues are reconstructed f64 (hi + lo fetched as f32
-    pairs — exact through the truncating transfer path)."""
+    X: f32 block from the f32 LOBPCG (residuals ~1e-3..1e-5) — either a
+    host (n, m) array OR a DEVICE (n_padded, m) array as returned by
+    lobpcg(..., return_device=True). Passing the device block skips a
+    host round-trip that costs tens of seconds of axon-tunnel transfer
+    at 128^3 (round-4 VERDICT item 1: the road to 1e-8 must be
+    device-resident end to end).
+
+    return_device=False: eigenvectors are reconstructed f64 on host
+    (hi + lo fetched as f32 pairs — exact through the truncating transfer
+    path). return_device=True: eigenvectors is the ON-DEVICE double-word
+    pair (Xh, Xl), each (n_padded, m) f32 — only the (m,)-sized
+    eigenvalues/residuals are fetched; the block stays in HBM for
+    downstream device consumers."""
     from maxwell_tpu.solvers.spectral import SpectralShiftSolver
 
     exact = getattr(pencil, "taps_dw", None) is not None
@@ -414,39 +474,41 @@ def refine_dw(
         alpha=0.0 if exact else 15.0, n_padded=pencil.n_padded,
         dtype=pencil.dtype,
     )
-    X = np.asarray(X, np.float32)
-    if X.ndim == 1:
-        X = X[:, None]
-    m = X.shape[1]
-    Xh = jnp.zeros((pencil.n_padded, m), jnp.float32)
-    Xh = Xh.at[: X.shape[0]].set(jnp.asarray(X))
+    if isinstance(X, jax.Array) and X.ndim == 2 and (
+        X.shape[0] == pencil.n_padded
+    ):
+        # device-resident handoff: already padded, stays in HBM
+        Xh = X.astype(jnp.float32)
+    else:
+        X = np.asarray(X, np.float32)
+        if X.ndim == 1:
+            X = X[:, None]
+        Xh = jnp.zeros((pencil.n_padded, X.shape[1]), jnp.float32)
+        Xh = Xh.at[: X.shape[0]].set(jnp.asarray(X))
     Xl = jnp.zeros_like(Xh)
 
     hist = []
     res = None
+    # early exit INSIDE the fused loop: stop one sweep after the
+    # pre-update residual first measures <= tol (that sweep's update is
+    # still applied, so the final residual lands well below tol)
     if exact:
-        # all sweeps in one compiled dispatch (tunnel-latency bound
-        # otherwise); exact sweeps converge in 3-4, surplus is free
-        Xh, Xl, th, tl, res = _sweeps_fused(
+        Xh, Xl, th, tl, res, sweeps = _sweeps_fused(
             pencil, sol, Xh, Xl, sigma_rel=sigma_rel,
-            n_sweeps=min(max_sweeps, 5),
+            n_sweeps=min(max_sweeps, 5), stop_tol=tol,
         )
-        hist.append({
-            "iter": min(max_sweeps, 5) - 1,
-            "max_rel_res": float(np.asarray(res).max()),
-            "note": "pre-update residual of the LAST fused sweep",
-        })
     else:
-        n_sw = min(max_sweeps, 8)
-        Xh, Xl, th, tl, res = _sweeps_approx_fused(
+        Xh, Xl, th, tl, res, sweeps = _sweeps_approx_fused(
             pencil, sol, Xh, Xl, sigma_rel=sigma_rel,
-            inner_iters=inner_iters, n_sweeps=n_sw,
+            inner_iters=inner_iters, n_sweeps=min(max_sweeps, 8),
+            stop_tol=tol,
         )
-        hist.append({
-            "iter": n_sw - 1,
-            "max_rel_res": float(np.asarray(res).max()),
-            "note": "pre-update residual of the LAST fused sweep",
-        })
+    sweeps = int(sweeps)
+    hist.append({
+        "iter": sweeps - 1,
+        "max_rel_res": float(np.asarray(res).max()),
+        "note": "pre-update residual of the LAST fused sweep",
+    })
 
     # final Rayleigh-Ritz: separate degenerate clusters, f64-exact on the
     # (m, m) pencil; rotation applied in dw on device
@@ -459,18 +521,21 @@ def refine_dw(
         0.5 * (A + A.T), 0.5 * (B + B.T)
     )
     Ch, Cl = tf.dw_from_f64(C)
-    Xh, Xl = _rotate(Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl))
-
-    th, tl, res = _final_residual(pencil, Xh, Xl)
+    Xh, Xl, th, tl, res = _rotate_final(
+        pencil, Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl)
+    )
     theta = tf.dw_to_f64(np.asarray(th), np.asarray(tl))
     res = np.asarray(res)
     hist.append({"iter": len(hist), "max_rel_res": float(res.max())})
-    Xout = tf.dw_to_f64(np.asarray(Xh), np.asarray(Xl))[: pencil.n]
+    if return_device:
+        Xout = (Xh, Xl)
+    else:
+        Xout = tf.dw_to_f64(np.asarray(Xh), np.asarray(Xl))[: pencil.n]
     return EigenResult(
         eigenvalues=theta,
         eigenvectors=Xout,
         residuals=res,
-        iterations=len(hist),
+        iterations=sweeps + 1,
         converged=bool(res.max() <= tol),
         history=hist,
     )

@@ -145,3 +145,64 @@ def test_refine_dw_loaded_cavity():
     )
     rel = np.linalg.norm(R, axis=0) / scale
     assert rel.max() <= 2e-8, f"f64-verified residual {rel.max():.2e}"
+
+
+def test_device_resident_chain(pencils):
+    """Round-4 VERDICT item 1: lobpcg(return_device=True) hands the
+    PADDED device block straight to refine_dw, which with
+    return_device=True keeps the refined dw pair in HBM — the whole road
+    to 1e-8 without a host round-trip. The fetched-afterwards vectors
+    must match the host-path quality against the independent f64 pencil."""
+    from maxwell_tpu.solvers import lobpcg
+    from maxwell_tpu.solvers.refine_device import refine_dw
+    from maxwell_tpu.solvers.spectral import spectral_preconditioner
+    from maxwell_tpu.utils import twofloat as tf
+
+    p32, p64 = pencils
+    pc = spectral_preconditioner(p32, alpha=15.0)
+    res32 = lobpcg(
+        p32, nev=5, maxiter=60, tol=1e-5, precond=pc, stall_window=10,
+        return_device=True,
+    )
+    assert isinstance(res32.eigenvectors, jax.Array)
+    assert res32.eigenvectors.shape == (p32.n_padded, 5)
+
+    out = refine_dw(p32, res32.eigenvectors, tol=1e-8, return_device=True)
+    assert out.converged, f"residuals {out.residuals}"
+    Xh, Xl = out.eigenvectors
+    assert isinstance(Xh, jax.Array) and Xh.shape == (p32.n_padded, 5)
+
+    # explicit fetch (what a consumer wanting host vectors would do)
+    X64 = tf.dw_to_f64(np.asarray(Xh), np.asarray(Xl))
+    X = jnp.asarray(X64, jnp.float64)
+    KX = np.asarray(p64.K_mm(X))[: p64.n]
+    MX = np.asarray(p64.M_mm(X))[: p64.n]
+    th = out.eigenvalues
+    R = KX - MX * th[None, :]
+    scale = np.linalg.norm(KX, axis=0) + np.abs(th) * np.linalg.norm(
+        MX, axis=0
+    )
+    rel = np.linalg.norm(R, axis=0) / scale
+    assert rel.max() <= 2e-8, f"f64-verified residual {rel.max():.2e}"
+
+
+def test_refine_dw_early_exit_sweep_count(pencils):
+    """The while_loop early exit (round-4 VERDICT item 5) takes FEWER
+    sweeps than the cap when the block converges fast, and the reported
+    iteration count reflects the executed sweeps."""
+    from maxwell_tpu.solvers import lobpcg
+    from maxwell_tpu.solvers.refine_device import refine_dw
+    from maxwell_tpu.solvers.spectral import spectral_preconditioner
+
+    p32, _ = pencils
+    pc = spectral_preconditioner(p32, alpha=15.0)
+    res32 = lobpcg(
+        p32, nev=5, maxiter=60, tol=1e-5, precond=pc, stall_window=10
+    )
+    out = refine_dw(p32, res32.eigenvectors, tol=1e-8)
+    # exact sweeps contract ~3 digits each from the f32 floor (~1e-5
+    # here): 2-3 sweeps + the final RR, never the full 5-sweep cap
+    assert out.converged
+    assert out.iterations <= 4, (
+        f"early exit did not fire: {out.iterations} iterations"
+    )
