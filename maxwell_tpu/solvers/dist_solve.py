@@ -160,32 +160,17 @@ def lobpcg_dist(
             np.asarray(deflate_Q, dpencil.dtype)
         )
 
-    run = functools.partial(
-        _run_local,
-        maxiter=maxiter,
-        tol=tol,
-        nev=nev,
-        precond_alpha=precond_alpha,
-        precond_iters=precond_iters,
-        checkpoint_every=checkpoint_every if checkpoint else 0,
-        checkpoint_path=checkpoint,
-        prev_iters=prev_iters,
-        stall_window=stall_window,
-    )
     spec_specs = (
         None if spectral is None else spectral.partition_specs()
     )
     q_spec = None if Qfull is None else P(axis, None)
-    mapped = jax.shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(
-            dpencil.partition_specs(), P(axis, None), spec_specs, q_spec,
-        ),
-        out_specs=(P(), P(axis, None), P(), P(), P()),
-        check_vma=False,
+    solve_fn = _lobpcg_dist_mapped(
+        mesh, dpencil.partition_specs(), spec_specs, q_spec, axis,
+        maxiter, tol, nev, precond_alpha, precond_iters,
+        checkpoint_every if checkpoint else 0, checkpoint,
+        prev_iters, stall_window,
     )
-    theta, X, res, it, hist = jax.jit(mapped)(dpencil, X0, spectral, Qfull)
+    theta, X, res, it, hist = solve_fn(dpencil, X0, spectral, Qfull)
 
     if checkpoint is not None:
         from maxwell_tpu.utils.checkpoint import save_state
@@ -217,6 +202,40 @@ def lobpcg_dist(
         converged=bool(res.max() <= tol),
         history=history,
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _lobpcg_dist_mapped(
+    mesh, pspecs, spec_specs, q_spec, axis, maxiter, tol, nev,
+    precond_alpha, precond_iters, checkpoint_every, checkpoint_path,
+    prev_iters, stall_window,
+):
+    """Cached jitted sharded LOBPCG driver (stable function identity ->
+    jit trace-cache HITS across calls). Building a fresh
+    jax.jit(jax.shard_map(...)) closure per call forced a full retrace +
+    remote-compile-cache replay on EVERY invocation — measured ~3 s of
+    steady-state overhead per 64^3 mesh-of-1 solve over the axon tunnel
+    (round 5)."""
+    run = functools.partial(
+        _run_local,
+        maxiter=maxiter,
+        tol=tol,
+        nev=nev,
+        precond_alpha=precond_alpha,
+        precond_iters=precond_iters,
+        checkpoint_every=checkpoint_every,
+        checkpoint_path=checkpoint_path,
+        prev_iters=prev_iters,
+        stall_window=stall_window,
+    )
+    mapped = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(pspecs, P(axis, None), spec_specs, q_spec),
+        out_specs=(P(), P(axis, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 def _lobpcg_dist_staged(

@@ -34,6 +34,7 @@ residual norms per sweep and one (m, m) eigh.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -261,6 +262,97 @@ def _rq_and_residual_dist(p, Xh, Xl):
     return th, tl, res, Rh, Rl
 
 
+def _dist_sweeps(p, sdef, Xh, Xl, max_sweeps, tol, sigma_rel):
+    """Shard-local sweep loop body (called under shard_map). ALL sweeps
+    in one compiled while_loop: each host->device dispatch costs seconds
+    over the axon tunnel, so a per-sweep python loop paid ~max_sweeps
+    dispatches for ~10 ms of compute each (round 4). The early exit is
+    on the REPLICATED residual (identical on every shard by
+    construction — psum-completed), so all shards agree on the trip
+    count."""
+
+    def cond(carry):
+        _, _, _, _, res, i = carry
+        return jnp.logical_and(i < max_sweeps, jnp.max(res) > tol)
+
+    def body(carry):
+        Xh, Xl, _, _, _, i = carry
+        th, tl, res, Rh, Rl = _rq_and_residual_dist(p, Xh, Xl)
+        sigma = th * jnp.float32(1.0 - sigma_rel)
+        W = sdef.solve_sigma(p, Rh, sigma) * p.mask[:, None]
+        Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
+        return Xh2, Xl2, th, tl, res, i + 1
+
+    m_ = Xh.shape[1]
+    z = jnp.zeros((m_,), Xh.dtype)
+    res0 = jnp.full((m_,), jnp.inf, Xh.dtype)
+    return jax.lax.while_loop(
+        cond, body, (Xh, Xl, z, z, res0, jnp.int32(0))
+    )
+
+
+def _dist_grams_local(p, Xh, Xl):
+    (KXh, KXl), (MXh, MXl) = p.KM_mm_dw(Xh, Xl)
+    w = p.w_dot[:, None]
+    Ah, Al = tf.dw_gram(Xh * w, Xl * w, KXh, KXl)
+    Bh, Bl = tf.dw_gram(Xh * w, Xl * w, MXh, MXl)
+    out = []
+    for h_, l_ in ((Ah, Al), (Bh, Bl)):
+        sh_ = h_.reshape(-1)
+        sl_ = l_.reshape(-1)
+        gh_, gl_ = _dw_allsum_pairs(sh_, sl_, p.axis, p.D)
+        out.append((gh_.reshape(h_.shape), gl_.reshape(l_.shape)))
+    return out[0][0], out[0][1], out[1][0], out[1][1]
+
+
+def _dist_rotfin_local(p, Xh, Xl, Ch, Cl):
+    """RR rotation + fresh residual in ONE dispatch (tunnel latency)."""
+    Xh, Xl = tf.dw_matmul_small(Xh, Xl, Ch, Cl)
+    th, tl, res, _, _ = _rq_and_residual_dist(p, Xh, Xl)
+    return Xh, Xl, th, tl, res
+
+
+@functools.lru_cache(maxsize=32)
+def _dist_refine_mapped(mesh, pspecs, sspecs, axis, max_sweeps, tol,
+                        sigma_rel):
+    """Cached jitted shard_maps for the distributed refine (stable
+    function identity -> jit trace-cache HITS across calls; fresh
+    closures per call cost ~10 s of retrace + remote-compile-cache
+    replay on every steady-state invocation — measured round 5)."""
+    from jax.sharding import PartitionSpec as P
+
+    row = P(axis, None)
+    sweeps_fn = partial(
+        _dist_sweeps, max_sweeps=max_sweeps, tol=tol,
+        sigma_rel=sigma_rel,
+    )
+    sweep_all = jax.jit(
+        jax.shard_map(
+            sweeps_fn, mesh=mesh,
+            in_specs=(pspecs, sspecs, row, row),
+            out_specs=(row, row, P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    grams = jax.jit(
+        jax.shard_map(
+            _dist_grams_local, mesh=mesh,
+            in_specs=(pspecs, row, row),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    rotate_final = jax.jit(
+        jax.shard_map(
+            _dist_rotfin_local, mesh=mesh,
+            in_specs=(pspecs, row, row, P(), P()),
+            out_specs=(row, row, P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    return sweep_all, grams, rotate_final
+
+
 def refine_dw_dist(
     dpencil,
     mesh,
@@ -288,15 +380,12 @@ def refine_dw_dist(
     f64-reconstructed host vectors. return_device=True: eigenvectors is
     the ON-DEVICE dw pair (Xh, Xl) in the stacked layout; only
     (m,)-sized eigenvalues/residuals are fetched."""
-    from jax.sharding import PartitionSpec as P
-
     from maxwell_tpu.solvers.spectral import DistSpectralShift
 
     if getattr(dpencil, "taps_dw", None) is None:
         raise ValueError("refine_dw_dist needs the vacuum slab tap pencil")
     sol = DistSpectralShift.build(dpencil, alpha=0.0)
     axis = dpencil.axis
-    row = P(axis, None)
 
     if isinstance(X, jax.Array) and X.ndim == 2 and (
         X.shape[0] == dpencil.global_rows
@@ -309,82 +398,9 @@ def refine_dw_dist(
         Xh = dpencil.inject_vectors(X)
     Xl = jnp.zeros_like(Xh)
 
-    def _sweeps_local(p, sdef, Xh, Xl):
-        """ALL sweeps in one compiled while_loop: each host->device
-        dispatch costs seconds over the axon tunnel, so the per-sweep
-        python loop paid ~max_sweeps dispatches for ~10 ms of compute
-        each (measured: the distributed refine was ~20 s of latency).
-        The early exit is on the REPLICATED residual (identical on every
-        shard by construction — psum-completed), so all shards agree on
-        the trip count."""
-
-        def cond(carry):
-            _, _, _, _, res, i = carry
-            return jnp.logical_and(
-                i < max_sweeps, jnp.max(res) > tol
-            )
-
-        def body(carry):
-            Xh, Xl, _, _, _, i = carry
-            th, tl, res, Rh, Rl = _rq_and_residual_dist(p, Xh, Xl)
-            sigma = th * jnp.float32(1.0 - sigma_rel)
-            W = sdef.solve_sigma(p, Rh, sigma) * p.mask[:, None]
-            Xh2, Xl2 = tf.dw_add(Xh, Xl, -W, jnp.zeros_like(W))
-            return Xh2, Xl2, th, tl, res, i + 1
-
-        m_ = Xh.shape[1]
-        z = jnp.zeros((m_,), Xh.dtype)
-        res0 = jnp.full((m_,), jnp.inf, Xh.dtype)
-        return jax.lax.while_loop(
-            cond, body, (Xh, Xl, z, z, res0, jnp.int32(0))
-        )
-
-    sweep_all = jax.jit(
-        jax.shard_map(
-            _sweeps_local, mesh=mesh,
-            in_specs=(
-                dpencil.partition_specs(), sol.partition_specs(), row, row,
-            ),
-            out_specs=(row, row, P(), P(), P(), P()),
-            check_vma=False,
-        )
-    )
-
-    def _grams_local(p, Xh, Xl):
-        (KXh, KXl), (MXh, MXl) = p.KM_mm_dw(Xh, Xl)
-        w = p.w_dot[:, None]
-        Ah, Al = tf.dw_gram(Xh * w, Xl * w, KXh, KXl)
-        Bh, Bl = tf.dw_gram(Xh * w, Xl * w, MXh, MXl)
-        out = []
-        for h_, l_ in ((Ah, Al), (Bh, Bl)):
-            sh_ = h_.reshape(-1)
-            sl_ = l_.reshape(-1)
-            gh_, gl_ = _dw_allsum_pairs(sh_, sl_, p.axis, p.D)
-            out.append((gh_.reshape(h_.shape), gl_.reshape(l_.shape)))
-        return out[0][0], out[0][1], out[1][0], out[1][1]
-
-    grams = jax.jit(
-        jax.shard_map(
-            _grams_local, mesh=mesh,
-            in_specs=(dpencil.partition_specs(), row, row),
-            out_specs=(P(), P(), P(), P()),
-            check_vma=False,
-        )
-    )
-
-    def _rotfin_local(p, Xh, Xl, Ch, Cl):
-        """RR rotation + fresh residual in ONE dispatch (tunnel latency)."""
-        Xh, Xl = tf.dw_matmul_small(Xh, Xl, Ch, Cl)
-        th, tl, res, _, _ = _rq_and_residual_dist(p, Xh, Xl)
-        return Xh, Xl, th, tl, res
-
-    rotate_final = jax.jit(
-        jax.shard_map(
-            _rotfin_local, mesh=mesh,
-            in_specs=(dpencil.partition_specs(), row, row, P(), P()),
-            out_specs=(row, row, P(), P(), P()),
-            check_vma=False,
-        )
+    sweep_all, grams, rotate_final = _dist_refine_mapped(
+        mesh, dpencil.partition_specs(), sol.partition_specs(), axis,
+        max_sweeps, tol, sigma_rel,
     )
 
     Xh, Xl, th, tl, res, sweeps = sweep_all(dpencil, sol, Xh, Xl)
