@@ -27,29 +27,102 @@ pair); pass measured values when available.
 from __future__ import annotations
 
 import dataclasses
+import re
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "s64": 8, "s32": 4, "u64": 8, "u32": 4, "pred": 1,
+}
+
+_COLLECTIVE_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.+?)\s+"
+    r"(all-reduce|collective-permute|all-gather|reduce-scatter|"
+    r"all-to-all)(?:-start)?\("
+)
+_SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s64|s32|u64|u32|pred)\[([\d,]*)\]")
+
+
+def collective_bytes_from_hlo(hlo_text: str) -> dict[str, int]:
+    """Per-collective RESULT byte volumes summed over a compiled HLO
+    module (round-4 VERDICT item 6: validate the comm model against the
+    program, not the formula). Counts each op's per-device result size —
+    the quantity the analytic model predicts; ring/transfer factors are
+    the model's job. `-done` ops are skipped (the matching `-start`
+    already carries the shape)."""
+    vols: dict[str, int] = {}
+    for line in hlo_text.splitlines():
+        m = _COLLECTIVE_RE.match(line)
+        if not m:
+            continue
+        total = 0
+        for dt, dims in _SHAPE_RE.findall(m.group(1)):
+            count = 1
+            for d in dims.split(","):
+                if d:
+                    count *= int(d)
+            total += count * _DTYPE_BYTES[dt]
+        vols[m.group(2)] = vols.get(m.group(2), 0) + total
+    return vols
 
 
 @dataclasses.dataclass(frozen=True)
 class CommModel:
+    """Volumes below are HLO-VALIDATED (round-4 VERDICT item 6): each
+    formula reproduces the per-collective result bytes extracted from
+    the compiled shard_map modules at 32^3/D=8/m=9 on the simulated mesh
+    (tests/distributed/test_comm_model_hlo.py pins them within 10%):
+
+      KM tap apply      collective-permute  230,472 B  == halo_bytes()
+      spectral solve    all-reduce        3,321,216 B  == spectral_psum_bytes(D)
+      nodal projector   all-reduce        1,072,476 B  == projector_psum_bytes(D)
+      nodal projector   collective-permute  308,880 B  ~= projector_permute_bytes() (+1.5%)
+
+    One LOBPCG iteration issues each of these once (KM_mm(W), precond(R),
+    project(W)); Gram/RR psums are O((3m)^2) floats — latency-bound,
+    negligible volume, excluded."""
+
     ny: int
     nz: int
     cells: int  # x-cells per shard (weak scaling keeps this constant)
     m: int  # LOBPCG block width
     t_compute_iter_s: float  # measured single-chip per-iteration compute
-    applies_per_iter: float = 2.0  # KM on W + projector mass applies
     bw_ici: float = 4.5e10  # B/s per neighbor link direction
     bw_dcn: float = 2.5e10  # B/s per host-crossing link
     overlap_halo: float = 1.0  # fraction of halo time hidden (measured
     # structure: interior apply has no dataflow edge to the exchange)
 
     def halo_bytes(self) -> int:
-        a_face = 2 * self.ny * self.nz + self.ny + self.nz
-        return int(2 * a_face * self.m * 4 * self.applies_per_iter)
+        """Ghost-plane ppermute bytes per KM tap apply: one packed plane
+        (all three components) per side, two sides
+        (dist/stencil_dist._ghost_planes)."""
+        ny, nz = self.ny, self.nz
+        a_face = (ny + 1) * (nz + 1) + ny * (nz + 1) + (ny + 1) * nz
+        return int(2 * a_face * self.m * 4)
+
+    def projector_permute_bytes(self) -> int:
+        """Interface-sum ppermutes inside the nodal gradient projector
+        (g_mm/gt_mm/fast-Poisson _iface_sum chains): ~4 nodal-plane
+        pairs per application."""
+        return int(4 * 2 * (self.ny + 1) * (self.nz + 1) * self.m * 4)
 
     def spectral_psum_bytes(self, D: int) -> int:
-        nx = self.cells * D
-        n_modes = 3 * nx * self.ny * self.nz
+        """Mode-coefficient all-reduce of the distributed spectral
+        solve: the three component lattices nx(ny-1)(nz-1) +
+        (nx-1)ny(nz-1) + (nx-1)(ny-1)nz (solvers/spectral
+        DistSpectralShift forward transforms)."""
+        nx, ny, nz = self.cells * D, self.ny, self.nz
+        n_modes = (
+            nx * (ny - 1) * (nz - 1)
+            + (nx - 1) * ny * (nz - 1)
+            + (nx - 1) * (ny - 1) * nz
+        )
         return int(n_modes * self.m * 4)
+
+    def projector_psum_bytes(self, D: int) -> int:
+        """Nodal-mode all-reduce of the fast-Poisson solve inside the
+        gradient projector: interior-node lattice (nx-1)(ny-1)(nz-1)."""
+        nx = self.cells * D
+        return int((nx - 1) * (self.ny - 1) * (self.nz - 1) * self.m * 4)
 
     def t_iter(self, D: int, hosts: int = 1) -> dict:
         """Predicted per-iteration time decomposition at D shards."""
@@ -59,12 +132,13 @@ class CommModel:
                 "allreduce": 0.0, "total": self.t_compute_iter_s,
             }
         link = self.bw_dcn if hosts > 1 else self.bw_ici
-        t_halo = self.halo_bytes() / link * (1.0 - self.overlap_halo)
-        # ring allreduce of the replicated mode volume; weak scaling
-        # grows the volume with D, the per-link share is 2(D-1)/D * V/D
-        # ... for an all-to-one-to-all (psum of per-shard partial sums of
-        # the FULL grid) each link carries ~2*V*(D-1)/D
-        V = self.spectral_psum_bytes(D)
+        t_halo = (
+            self.halo_bytes() / link * (1.0 - self.overlap_halo)
+            + self.projector_permute_bytes() / link
+        )
+        # ring allreduce of the replicated mode volumes; weak scaling
+        # grows the volume with D, and each link carries ~2*V*(D-1)/D
+        V = self.spectral_psum_bytes(D) + self.projector_psum_bytes(D)
         t_ar = 2.0 * V * (D - 1) / D / link
         total = self.t_compute_iter_s + t_halo + t_ar
         return {

@@ -97,6 +97,7 @@ def run(mode: str = "weak", cells: int = 8, ny: int = 16, nz: int = 16,
             "t_km_apply_s": t_apply,
             "nnz_per_s": 2 * nnz_eff / t_apply,  # KM = two operators
             "t_solve_s": t_solve,
+            "t_iter_s": t_solve / max(int(res.iterations), 1),
             "solve_iters": int(res.iterations),
             "max_res": float(res.residuals.max()),
             "efficiency": eff,
@@ -143,5 +144,15 @@ if __name__ == "__main__":
     ap.add_argument("--ny", type=int, default=16)
     ap.add_argument("--nz", type=int, default=16)
     ap.add_argument("--maxiter", type=int, default=40)
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a jax platform (e.g. 'cpu' for the simulated mesh; "
+        "the env var is too late — jax is imported at interpreter "
+        "startup here)",
+    )
     a = ap.parse_args()
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
     run(a.mode, a.cells, a.ny, a.nz, maxiter=a.maxiter)

@@ -37,7 +37,7 @@ def _spectral_dist_apply(solver, pencil, R):
 def _run_local(
     pencil, X0, spectral, Qlock, maxiter, tol, nev, precond_alpha,
     precond_iters, checkpoint_every=0, checkpoint_path=None, prev_iters=0,
-    stall_window=0,
+    stall_window=0, lock_tol=0.0,
 ):
     """Body executed per shard: project the start block, build the local
     preconditioner (exact distributed spectral solve when provided), run
@@ -61,6 +61,7 @@ def _run_local(
         Qlock=Qlock, MQlock=MQlock,
         checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
         prev_iters=prev_iters, stall_window=stall_window,
+        lock_tol=lock_tol,
     )
 
 
@@ -82,6 +83,7 @@ def lobpcg_dist(
     batch: int | None = None,
     stall_window: int = 0,
     return_device: bool = False,
+    lock: bool = True,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
@@ -168,7 +170,7 @@ def lobpcg_dist(
         mesh, dpencil.partition_specs(), spec_specs, q_spec, axis,
         maxiter, tol, nev, precond_alpha, precond_iters,
         checkpoint_every if checkpoint else 0, checkpoint,
-        prev_iters, stall_window,
+        prev_iters, stall_window, tol * 1e-2 if lock else 0.0,
     )
     theta, X, res, it, hist = solve_fn(dpencil, X0, spectral, Qfull)
 
@@ -208,7 +210,7 @@ def lobpcg_dist(
 def _lobpcg_dist_mapped(
     mesh, pspecs, spec_specs, q_spec, axis, maxiter, tol, nev,
     precond_alpha, precond_iters, checkpoint_every, checkpoint_path,
-    prev_iters, stall_window,
+    prev_iters, stall_window, lock_tol=0.0,
 ):
     """Cached jitted sharded LOBPCG driver (stable function identity ->
     jit trace-cache HITS across calls). Building a fresh
@@ -227,6 +229,7 @@ def _lobpcg_dist_mapped(
         checkpoint_path=checkpoint_path,
         prev_iters=prev_iters,
         stall_window=stall_window,
+        lock_tol=lock_tol,
     )
     mapped = jax.shard_map(
         run,

@@ -69,7 +69,7 @@ def _emit_progress(it, res_max, theta0):
     jax.jit,
     static_argnames=(
         "maxiter", "nev", "log_every", "checkpoint_every",
-        "checkpoint_path", "stall_window",
+        "checkpoint_path", "stall_window", "lock_tol",
     ),
 )
 def lobpcg_run(
@@ -86,6 +86,7 @@ def lobpcg_run(
     checkpoint_path: str | None = None,
     prev_iters: int = 0,
     stall_window: int = 0,
+    lock_tol: float = 0.0,
 ):
     """Jit-ed LOBPCG loop. X0: (n_padded, m), already projected off the
     nullspace (zero-padding invariant holds). Convergence is tested on the
@@ -94,6 +95,17 @@ def lobpcg_run(
     Qlock/MQlock: optional locked M-orthonormal eigenvectors (and M @ Qlock)
     to deflate against — hard deflation for incremental multi-eigenpair
     solves (SURVEY.md §2 C12, §3.3 "deflate(R, locked)").
+
+    lock_tol > 0 enables IN-LOOP soft locking (SURVEY.md §3.3 "lock
+    converged columns"; round-4 VERDICT item 8) with a STATIC-shape mask —
+    no recompile: once a tracked column's residual reaches lock_tol it is
+    frozen bit-exactly (X/KX/MX/theta pinned by jnp.where), its W and P
+    contributions are zeroed so the search space stops spending directions
+    on it, and it stays in the RR basis so active Ritz vectors remain
+    M-orthogonal against it (classic soft locking). This stops converged
+    columns from drifting at the f32 floor while the rest of the block
+    catches up; the structural FLOP reduction from a NARROWER block is the
+    staged `batch` path's job (hard locking + one recompile per stage).
     Returns (theta, X, res, iters, res_hist)."""
     n, m = X0.shape
     dtype = X0.dtype
@@ -149,14 +161,14 @@ def lobpcg_run(
         return R, nR / jnp.maximum(scale, 1e-30)
 
     def cond(state):
-        it, X, KX, MX, theta, P, KP, MP, res, hist, best = state
+        it, X, KX, MX, theta, P, KP, MP, res, hist, best, locked = state
         go = jnp.logical_and(it < maxiter, jnp.max(res[:nev]) > tol)
         if stall_window > 0:
             go = jnp.logical_and(go, best[1] < stall_window)
         return go
 
     def body(state):
-        it, X, KX, MX, theta, P, KP, MP, res, hist, best = state
+        it, X, KX, MX, theta, P, KP, MP, res, hist, best, locked = state
 
         R, _ = residuals(KX, MX, theta, X)
         W = precond(R) if precond is not None else R
@@ -164,6 +176,9 @@ def lobpcg_run(
         W = pencil.project(W)
         W = deflate(W)
         W = W - X @ dot_mm(MX, W)  # cheap X-deflation improves Gram conditioning
+        if lock_tol > 0.0:
+            # soft locking: no new search direction for frozen columns
+            W = W * (~locked).astype(dtype)[None, :]
 
         KW, MW = pencil.KM_mm(W)
 
@@ -197,7 +212,38 @@ def lobpcg_run(
         KP_new = KS @ Cp
         MP_new = MS @ Cp
 
+        if lock_tol > 0.0:
+            # pin frozen columns bit-exactly (they remain IN the RR
+            # basis above, so the active Ritz vectors come out
+            # M-orthogonal against them — the pin only stops f32 drift
+            # of an already-converged representative)
+            lk = locked[None, :]
+            X_new = jnp.where(lk, X, X_new)
+            KX_new = jnp.where(lk, KX, KX_new)
+            MX_new = jnp.where(lk, MX, MX_new)
+            theta_new = jnp.where(locked, theta, theta_new)
+
         _, res_new = residuals(KX_new, MX_new, theta_new, X_new)
+        if lock_tol > 0.0:
+            newly = jnp.logical_and(
+                res_new <= lock_tol, jnp.arange(m) < nev
+            )
+            if Qlock is not None:
+                # a column drifting onto a hard-deflated eigenpair has a
+                # genuinely SMALL eigen-residual (it IS an eigenvector —
+                # deflation, not the residual, excludes it); locking it
+                # would freeze the false state forever. Gate on the
+                # M-overlap with the deflated block: true deflated-solve
+                # pairs sit at roundoff (~1e-6), duplicates at O(1).
+                defect = jnp.linalg.norm(
+                    dot_mm(MQlock, X_new), axis=0
+                )
+                newly = jnp.logical_and(newly, defect <= 1e-3)
+            locked = jnp.logical_or(locked, newly)
+            act = (~locked).astype(dtype)[None, :]
+            P_new = P_new * act
+            KP_new = KP_new * act
+            MP_new = MP_new * act
         # history tracks the CONVERGENCE-RELEVANT residual (first nev
         # columns) — guard vectors would otherwise dominate the max and
         # contradict the converged report
@@ -251,12 +297,14 @@ def lobpcg_run(
             res_new,
             hist,
             best,
+            locked,
         )
 
-    state = (0, X, KX, MX, theta, P, KP, MP, res0, hist, best0)
-    it, X, KX, MX, theta, P, KP, MP, res, hist, best = jax.lax.while_loop(
-        cond, body, state
-    )
+    locked0 = jnp.zeros((m,), bool)
+    state = (0, X, KX, MX, theta, P, KP, MP, res0, hist, best0, locked0)
+    (
+        it, X, KX, MX, theta, P, KP, MP, res, hist, best, locked
+    ) = jax.lax.while_loop(cond, body, state)
     # floor-bounce regime (stall_window > 0 opts in): return the BEST
     # iterate seen, not the last. Gated so plain callers get the final
     # iterate that matches in-loop checkpoints and iteration metadata
@@ -286,6 +334,7 @@ def lobpcg(
     stall_window: int = 0,
     batch: int | None = None,
     return_device: bool = False,
+    lock: bool = True,
 ) -> EigenResult:
     """Solve for the `nev` smallest nonzero eigenpairs of K x = lambda M x.
 
@@ -311,6 +360,11 @@ def lobpcg(
     for a zero-transfer handoff to refine_dw (round-4 VERDICT item 1:
     over the axon tunnel a 128^3 block costs tens of seconds each way).
     Ignored by the staged `batch` path (stages concatenate on host).
+    lock: in-loop soft locking (on by default) — converged tracked
+    columns are frozen bit-exactly inside the compiled loop while the
+    rest of the block iterates (see lobpcg_run lock_tol). Output pairs
+    are re-sorted ascending on exit (a pinned column can in principle be
+    overtaken by a later-converging smaller eigenvalue).
     """
     if batch is not None and batch < nev:
         Q = deflate_Q
@@ -390,8 +444,16 @@ def lobpcg(
         Qlock=Qlock, MQlock=MQlock, log_every=log_every,
         checkpoint_every=checkpoint_every if checkpoint else 0,
         checkpoint_path=checkpoint, prev_iters=prev_iters,
-        stall_window=stall_window,
+        stall_window=stall_window, lock_tol=tol * 1e-2 if lock else 0.0,
     )
+    # ascending order of the tracked pairs (no-op without locking; with
+    # locking a frozen column can be overtaken by a smaller late pair)
+    order = np.argsort(np.asarray(theta)[:nev])
+    if not np.all(order == np.arange(nev)):
+        order_d = jnp.asarray(order)
+        theta = theta.at[:nev].set(theta[order_d])
+        X = X.at[:, :nev].set(X[:, order_d])
+        res = res.at[:nev].set(res[order_d])
 
     if checkpoint is not None:
         from maxwell_tpu.utils.checkpoint import save_state

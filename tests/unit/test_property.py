@@ -76,3 +76,63 @@ def test_projector_idempotent_2d():
     PPx = pencil.project(Px)
     rel = float(jnp.linalg.norm(PPx - Px) / jnp.linalg.norm(Px))
     assert rel < 1e-9
+
+
+def test_inloop_soft_locking_freezes_columns():
+    """Round-4 VERDICT item 8: with lock_tol > 0, a column that reaches
+    the lock threshold is frozen BIT-EXACTLY inside the compiled loop
+    while the remaining columns keep converging — verified by comparing
+    two runs that share the RNG: one stopped right after the first lock,
+    one run further."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.solvers.lobpcg import lobpcg_run
+    from maxwell_tpu.solvers.operator import Pencil
+    from maxwell_tpu.solvers.precond import shifted_cg_preconditioner
+
+    cav = BrickCavity3D(nx=6, ny=6, nz=6)
+    pencil = Pencil.from_problem(cav, kernel="ref", dtype=jnp.float32)
+    pc = shifted_cg_preconditioner(pencil, alpha=15.0, iters=16)
+    m = 6
+    key = jax.random.PRNGKey(3)
+    X0 = jax.random.normal(key, (pencil.n_padded, m), jnp.float32)
+    X0 = X0.at[pencil.n:].set(0.0)
+    X0 = pencil.project(X0)
+    pcp = jax.tree_util.Partial(pc)
+
+    lock_tol = 1e-4
+    # run until the FIRST column locks: iterate in growing maxiter until
+    # some tracked residual <= lock_tol but not all
+    it_first = None
+    for it in range(4, 60, 2):
+        theta, X, res, _, _ = lobpcg_run(
+            pencil, X0, it, 1e-12, pcp, nev=4, lock_tol=lock_tol
+        )
+        r = np.asarray(res)[:4]
+        if (r <= lock_tol).any() and not (r <= lock_tol).all():
+            it_first = it
+            X_at_lock = np.asarray(X)
+            locked_cols = np.where(r <= lock_tol)[0]
+            res_at_lock = r
+            break
+    assert it_first is not None, "no partial-lock state found"
+
+    # run 6 more iterations: locked columns must be BIT-identical, the
+    # not-yet-locked ones must have improved
+    theta2, X2, res2, _, _ = lobpcg_run(
+        pencil, X0, it_first + 6, 1e-12, pcp, nev=4, lock_tol=lock_tol
+    )
+    X2 = np.asarray(X2)
+    r2 = np.asarray(res2)[:4]
+    for j in locked_cols:
+        np.testing.assert_array_equal(
+            X2[:, j], X_at_lock[:, j],
+            err_msg=f"locked column {j} drifted",
+        )
+    active = [j for j in range(4) if j not in locked_cols]
+    assert min(r2[j] / res_at_lock[j] for j in active) < 0.5, (
+        "active columns did not keep converging past the lock"
+    )
