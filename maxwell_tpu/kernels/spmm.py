@@ -199,7 +199,7 @@ def bsr_matmat_pallas_windowed(
 
 def _bellunion_kernel(
     tile_of_ref, first_ref, ucols_ref, vals_ref, x_ref, o_ref,
-    *, b, m, CG, pack
+    *, b, m, CG, pack, precision="highest"
 ):
     # int literals as EXPLICIT int32 consts: with jax_enable_x64 on, a bare
     # python literal stages a weak-int64 constant whose int64->int32
@@ -226,7 +226,11 @@ def _bellunion_kernel(
         vals_ref[:],
         xg,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision={
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision],
     )
 
     @pl.when(first_ref[k] == jnp.int32(1))
@@ -238,9 +242,49 @@ def _bellunion_kernel(
         o_ref[:] += d
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+def _bellunion_kernel_b3(
+    tile_of_ref, first_ref, ucols_ref, vh_ref, vl_ref, x_ref, o_ref,
+    *, b, m, CG, pack
+):
+    """bf16x3 variant (round 5): the HIGHEST f32 dot costs six MXU
+    passes and dominated the kernel (measured 810 us vs 459 us for one
+    DEFAULT pass at 24^3/m=8). With the value stream pre-split into an
+    error-free bf16 (hi, lo) pair at BUILD time (same HBM bytes), three
+    DEFAULT passes hi*xh + hi*xl + lo*xh recover ~1e-6 relative accuracy
+    — below the f32 solver floors the production path feeds. Only the
+    small gathered (cl, m) X block is split in-kernel (~8k elements)."""
+    k = pl.program_id(0)
+    k8 = k % jnp.int32(8)
+    parts = [
+        x_ref[pl.ds(ucols_ref[k8, g * pack] * jnp.int32(b), pack * b), :]
+        for g in range(CG // pack)
+    ]
+    xg = jnp.concatenate(parts, axis=0)
+    xh = xg.astype(jnp.bfloat16)
+    xl = (xg - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    vh = vh_ref[:]
+    vl = vl_ref[:]
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    d = dot(vh, xh) + dot(vh, xl) + dot(vl, xh)
+
+    @pl.when(first_ref[k] == jnp.int32(1))
+    def _set():
+        o_ref[:] = d
+
+    @pl.when(first_ref[k] == jnp.int32(0))
+    def _acc():
+        o_ref[:] += d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "stream", "precision")
+)
 def bellunion_matmat_pallas(
-    A, X: jax.Array, interpret: bool = False, stream: str = "a"
+    A, X: jax.Array, interpret: bool = False, stream: str = "a",
+    precision: str = "highest",
 ):
     """Y = A @ X for a BELLUnion matrix; X (n_padded, m) f32 resident in
     VMEM. Grid over the ragged flat chunk list: stored bytes == streamed
@@ -260,8 +304,51 @@ def bellunion_matmat_pallas(
     if X.shape[0] < need:
         Xp = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
 
+    if precision == "b3":
+        vh = A.vals_h if stream == "a" else A.vals_b_h
+        vl = A.vals_l if stream == "a" else A.vals_b_l
+        if vh is None:
+            raise ValueError(
+                "precision='b3' needs the bf16 split streams — build "
+                "with BELLUnion.bf16x3()"
+            )
+        kernel3 = functools.partial(
+            _bellunion_kernel_b3, b=b, m=m, CG=CG, pack=A.pack
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A.n_chunks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (8, CG),
+                    lambda k, tof, fst: (k // 8, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (128, cl), lambda k, tof, fst: (k, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (128, cl), lambda k, tof, fst: (k, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (128, m), lambda k, tof, fst: (tof[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            kernel3,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+            interpret=interpret,
+        )(A.tile_of, A.first, A.ucols, vh, vl, Xp)
+
     kernel = functools.partial(
-        _bellunion_kernel, b=b, m=m, CG=CG, pack=A.pack
+        _bellunion_kernel, b=b, m=m, CG=CG, pack=A.pack,
+        precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_of, first
@@ -322,14 +409,52 @@ def _bellunion_km_kernel(
         om_ref[:] += dm
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bellunion_km_matmat_pallas(A, X: jax.Array, interpret: bool = False):
+def _bellunion_km_kernel_b3(
+    tile_of_ref, first_ref, ucols_ref, vkh_ref, vkl_ref, vmh_ref,
+    vml_ref, x_ref, ok_ref, om_ref, *, b, m, CG, pack
+):
+    """Fused-KM bf16x3 variant (see _bellunion_kernel_b3): both value
+    streams pre-split at build time; the gathered X block is split once
+    and shared by the six DEFAULT-precision passes (3 per stream)."""
+    k = pl.program_id(0)
+    k8 = k % jnp.int32(8)
+    parts = [
+        x_ref[pl.ds(ucols_ref[k8, g * pack] * jnp.int32(b), pack * b), :]
+        for g in range(CG // pack)
+    ]
+    xg = jnp.concatenate(parts, axis=0)
+    xh = xg.astype(jnp.bfloat16)
+    xl = (xg - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    dk = dot(vkh_ref[:], xh) + dot(vkh_ref[:], xl) + dot(vkl_ref[:], xh)
+    dm = dot(vmh_ref[:], xh) + dot(vmh_ref[:], xl) + dot(vml_ref[:], xh)
+
+    @pl.when(first_ref[k] == jnp.int32(1))
+    def _set():
+        ok_ref[:] = dk
+        om_ref[:] = dm
+
+    @pl.when(first_ref[k] == jnp.int32(0))
+    def _acc():
+        ok_ref[:] += dk
+        om_ref[:] += dm
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def bellunion_km_matmat_pallas(
+    A, X: jax.Array, interpret: bool = False, precision: str = "highest"
+):
     """(K @ X, M @ X) in ONE kernel for a BELLUnion carrying both value
     streams: the per-chunk fixed costs (SMEM column reads, the unrolled
     X gather, the output RMW) are paid once instead of twice — they are
     the ~15-35% of each single-stream call that is NOT value-stream
     bytes, so the fused KM apply lands well under 2x the single apply
-    (round 4; the solver hot loop calls KM every iteration)."""
+    (round 4; the solver hot loop calls KM every iteration).
+    precision="b3" uses the bf16x3 split streams (see
+    _bellunion_kernel_b3) — the production f32 mode since round 5."""
     if A.vals_b is None:
         raise ValueError("BELLUnion built without the second value stream")
     n_pad, m = A.n_padded, X.shape[1]
@@ -341,6 +466,48 @@ def bellunion_km_matmat_pallas(A, X: jax.Array, interpret: bool = False):
     need = A.n_cols_padded
     if X.shape[0] < need:
         Xp = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
+
+    if precision == "b3":
+        if A.vals_h is None or A.vals_b_h is None:
+            raise ValueError(
+                "precision='b3' needs BELLUnion.bf16x3() split streams"
+            )
+        kernel3 = functools.partial(
+            _bellunion_km_kernel_b3, b=b, m=m, CG=CG, pack=A.pack
+        )
+        val_spec3 = pl.BlockSpec(
+            (128, cl), lambda k, tof, fst: (k, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec3 = pl.BlockSpec(
+            (128, m), lambda k, tof, fst: (tof[k], 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec3 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A.n_chunks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (8, CG), lambda k, tof, fst: (k // 8, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                val_spec3, val_spec3, val_spec3, val_spec3,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(out_spec3, out_spec3),
+        )
+        return pl.pallas_call(
+            kernel3,
+            grid_spec=grid_spec3,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+            ),
+            interpret=interpret,
+        )(
+            A.tile_of, A.first, A.ucols, A.vals_h, A.vals_l,
+            A.vals_b_h, A.vals_b_l, Xp,
+        )
 
     kernel = functools.partial(
         _bellunion_km_kernel, b=b, m=m, CG=CG, pack=A.pack

@@ -60,12 +60,19 @@ class Pencil:
     # kernel="bellpairs" keeps the superseded paired-chunk layout wired
     # for comparison.
     Kbanded: "object | None" = None
+    # union-kernel dot precision: "highest" (six f32 MXU passes) or "b3"
+    # (three bf16 passes over build-time split value streams — the
+    # PRODUCTION f32 mode since round 5: 1.4-1.5x faster at ~1e-5 max
+    # apply error, below the f32 solve floors; kernels/spmm.py
+    # _bellunion_kernel_b3). Banded fallback applies stay "highest".
+    precision: str = "highest"
 
     def tree_flatten(self):
         return (self.K, self.M, self.proj, self.fastproj, self.Kbanded), (
             self.kernel,
             self.mass_tol,
             self.mass_iters,
+            self.precision,
         )
 
     @classmethod
@@ -74,6 +81,7 @@ class Pencil:
         return cls(
             K=K, M=M, proj=proj, fastproj=fastproj, Kbanded=Kbanded,
             kernel=aux[0], mass_tol=aux[1], mass_iters=aux[2],
+            precision=aux[3] if len(aux) > 3 else "highest",
         )
 
     # --- shapes -----------------------------------------------------------
@@ -142,7 +150,12 @@ class Pencil:
         vec = X.ndim == 1
         Xl = X[:, None] if vec else X
         if self._bell_fits_vmem(Xl.shape[1]):
-            Y = full(self.K, Xl, stream=stream)
+            if self.kernel == "union":
+                Y = full(
+                    self.K, Xl, stream=stream, precision=self.precision
+                )
+            else:
+                Y = full(self.K, Xl, stream=stream)
         elif self.Kbanded is not None:
             Y = banded(self.Kbanded, Xl, stream=stream)
         else:
@@ -204,7 +217,9 @@ class Pencil:
             vec = X.ndim == 1
             Xl = X[:, None] if vec else X
             if self._bell_fits_vmem(Xl.shape[1]):
-                Yk, Ym = bellunion_km_matmat_pallas(self.K, Xl)
+                Yk, Ym = bellunion_km_matmat_pallas(
+                    self.K, Xl, precision=self.precision
+                )
                 return (Yk[:, 0], Ym[:, 0]) if vec else (Yk, Ym)
             # banded fallback: two single-stream banded applies
         return self.K_mm(X), self.M_mm(X)
@@ -248,6 +263,7 @@ class Pencil:
         kernel: str = "ref",
         dtype=jnp.float32,
         max_m: int = 96,
+        precision: str = "auto",
     ) -> "Pencil":
         """Build from a cavity problem (RectCavity2D / BrickCavity3D).
 
@@ -270,6 +286,16 @@ class Pencil:
             K = _Layout.from_csr(
                 problem.K, block=block, dtype=dtype, B=problem.M
             )
+            if precision == "auto":
+                # PRODUCTION f32 union mode: bf16x3 split streams
+                # (round 5; see the `precision` field note)
+                precision = (
+                    "b3"
+                    if kernel == "union" and dtype == jnp.float32
+                    else "highest"
+                )
+            if precision == "b3" and kernel == "union":
+                K = K.bf16x3()
             M = None
             # band split sized for the LARGEST width the solvers can
             # request (LOBPCG's [X, W, P] basis is 3*m_block, <= max_m),
@@ -314,7 +340,9 @@ class Pencil:
                 base.a, base.b, base.c, base.nx, base.ny, base.nz,
                 dtype=dtype,
             )
+        if precision == "auto":
+            precision = "highest"
         return Pencil(
             K=K, M=M, proj=proj, kernel=kernel, fastproj=fastproj,
-            Kbanded=Kbanded,
+            Kbanded=Kbanded, precision=precision,
         )

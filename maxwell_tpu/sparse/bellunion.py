@@ -231,19 +231,55 @@ class BELLUnion:
     # slices — fewer, larger sublane copies at a small fill cost (measured
     # on the 24^3 RCM operator: pack=2 fill 1.11x, pack=4 fill 1.30x).
     pack: int = 1
+    # OPTIONAL bf16 (hi, lo) split of the value stream(s) for the
+    # bf16x3 kernel (round 5): f32(vals_h) + f32(vals_l) carries ~16
+    # mantissa bits of vals (representation error ~2^-17 relative). Three DEFAULT-precision MXU passes
+    # (hi*hi + hi*lo + lo*hi) replace the six of a HIGHEST f32 dot —
+    # measured 810 us -> ~600 us at 24^3/m=8 — while the split streams
+    # the SAME bytes from HBM (2 x bf16 == 1 x f32). Built once by
+    # bf16x3(); None until then.
+    vals_h: jax.Array | None = None
+    vals_l: jax.Array | None = None
+    vals_b_h: jax.Array | None = None
+    vals_b_l: jax.Array | None = None
 
     def tree_flatten(self):
         return (
             self.vals, self.ucols, self.tile_of, self.first, self.vals_b,
+            self.vals_h, self.vals_l, self.vals_b_h, self.vals_b_l,
         ), (self.n, self.n_tiles, self.b, self.cl, self.n_cols, self.pack)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        vals, ucols, tile_of, first, vals_b = children
+        (
+            vals, ucols, tile_of, first, vals_b,
+            vals_h, vals_l, vals_b_h, vals_b_l,
+        ) = children
         return cls(
             vals=vals, ucols=ucols, tile_of=tile_of, first=first,
             vals_b=vals_b, n=aux[0], n_tiles=aux[1], b=aux[2], cl=aux[3],
             n_cols=aux[4], pack=aux[5] if len(aux) > 5 else 1,
+            vals_h=vals_h, vals_l=vals_l,
+            vals_b_h=vals_b_h, vals_b_l=vals_b_l,
+        )
+
+    def bf16x3(self) -> "BELLUnion":
+        """Return a copy carrying the bf16 hi/lo split of each value
+        stream (see vals_h field note). One elementwise device pass per
+        stream, done once at build/ship time."""
+        import dataclasses as _dc
+
+        def split(v):
+            if v is None:
+                return None, None
+            vh = v.astype(jnp.bfloat16)
+            vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return vh, vl
+
+        vh, vl = split(self.vals)
+        bh, bl = split(self.vals_b)
+        return _dc.replace(
+            self, vals_h=vh, vals_l=vl, vals_b_h=bh, vals_b_l=bl
         )
 
     @property

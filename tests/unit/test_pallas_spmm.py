@@ -375,3 +375,74 @@ def test_bellunion_km_fused_parity():
     ref = A @ np.asarray(X[:n], np.float64)
     err = np.abs(np.asarray(Yk)[:n] - ref).max() / np.abs(ref).max()
     assert err < 1e-6
+
+
+def test_bellunion_b3_matches_scipy():
+    """bf16x3 production kernel (round 5): three DEFAULT-precision MXU
+    passes over build-time-split bf16 value streams must reproduce the
+    scipy product to the documented ~1e-5 apply budget (the f32
+    production solves stall-cut above this floor and chain into
+    dw/f64 refinement)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from maxwell_tpu.kernels.spmm import bellunion_matmat_pallas
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.bellunion import BELLUnion
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    cav = PermutedProblem(BrickCavity3D(nx=6, ny=6, nz=6))
+    Kcsr = cav.K.tocsr()
+    A = BELLUnion.from_csr(Kcsr, block=8, dtype=jnp.float32).bf16x3()
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(
+        rng.standard_normal((A.n_cols_padded, 8)), jnp.float32
+    )
+    Y = bellunion_matmat_pallas(A, X, interpret=True, precision="b3")
+    Yref = Kcsr @ np.asarray(X[: Kcsr.shape[1]], np.float64)
+    err = np.abs(np.asarray(Y)[: Kcsr.shape[0]] - Yref).max()
+    rel = err / np.abs(Yref).max()
+    assert rel < 2e-5, f"b3 apply error {rel:.2e}"
+    # the (hi, lo) pair carries ~16 mantissa bits (2 x bf16-8): the
+    # reconstruction error against the f32 values is bounded by ~2^-17
+    recon = np.asarray(A.vals_h, np.float32).astype(np.float64) + \
+        np.asarray(A.vals_l, np.float32).astype(np.float64)
+    v = np.asarray(A.vals, np.float64)
+    scale = np.abs(v).max()
+    assert np.abs(recon - v).max() <= 1e-5 * scale
+
+
+def test_bellunion_km_b3_matches_single_stream():
+    """Fused-KM bf16x3 == two single-stream b3 applies (same gathered X,
+    same split streams)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from maxwell_tpu.kernels.spmm import (
+        bellunion_km_matmat_pallas,
+        bellunion_matmat_pallas,
+    )
+    from maxwell_tpu.problems import BrickCavity3D
+    from maxwell_tpu.sparse.bellunion import BELLUnion
+    from maxwell_tpu.sparse.reorder import PermutedProblem
+
+    cav = PermutedProblem(BrickCavity3D(nx=6, ny=6, nz=6))
+    A = BELLUnion.from_csr(
+        cav.K.tocsr(), block=8, dtype=jnp.float32, B=cav.M
+    ).bf16x3()
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(
+        rng.standard_normal((A.n_cols_padded, 4)), jnp.float32
+    )
+    Yk, Ym = bellunion_km_matmat_pallas(
+        A, X, interpret=True, precision="b3"
+    )
+    Yk1 = bellunion_matmat_pallas(
+        A, X, interpret=True, precision="b3", stream="a"
+    )
+    Ym1 = bellunion_matmat_pallas(
+        A, X, interpret=True, precision="b3", stream="b"
+    )
+    np.testing.assert_allclose(np.asarray(Yk), np.asarray(Yk1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ym), np.asarray(Ym1), atol=1e-6)
