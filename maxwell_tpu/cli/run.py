@@ -200,9 +200,13 @@ def main(argv=None):
     tol = scfg.get("tol", 1e-8)
     maxiter = scfg.get("maxiter", 200)
     want_refine = args.refine or scfg.get("refine", False) or force_refine
-    # with refinement the device solve only needs the fp32-comfortable part
+    # with refinement the device solve only needs the fp32-comfortable
+    # part. f64 backends keep the full tolerance: staged (batch) runs
+    # hard-deflate each stage's block, and deflation quality equals the
+    # block's residual — stages left at 1e-5 seeded duplicate eigenpairs
+    # that grew ~2x/iteration under the preconditioner (round 5).
     full_tol = tol
-    if want_refine:
+    if want_refine and dtype == jnp.float32:
         tol = max(tol, 1e-5)
 
     t0 = time.perf_counter()
@@ -238,6 +242,23 @@ def main(argv=None):
                 problem, D, block=block, kernel=kernel, dtype=dtype
             )
         mesh = make_mesh(D)
+        # staged stencil runs with refinement: polish EACH stage's block
+        # on device before it joins the deflation basis — an f32-floor
+        # stage (~1e-5) would otherwise seed duplicate eigenpairs in the
+        # next stage (deflation quality equals the basis residual)
+        stage_polish = None
+        if (
+            want_refine
+            and scfg.get("batch")
+            and getattr(dp, "taps_dw", None) is not None
+        ):
+            from maxwell_tpu.solvers.refine_device import refine_dw_dist
+
+            def stage_polish(r):
+                return refine_dw_dist(
+                    dp, mesh, r.eigenvectors, tol=full_tol
+                )
+
         res = lobpcg_dist(
             dp,
             mesh,
@@ -250,14 +271,24 @@ def main(argv=None):
             checkpoint=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
             batch=scfg.get("batch"),
-            # when a refinement pass follows, cut at the f32 floor and
-            # return the best iterate instead of bouncing to maxiter
-            # (round 4: an unstalled f32 dist solve at tol below its
-            # floor returned a degraded final block)
+            # when a refinement pass follows ON AN F32 DEVICE, cut at the
+            # f32 floor and return the best iterate instead of bouncing
+            # to maxiter (round 4: an unstalled f32 dist solve at tol
+            # below its floor returned a degraded final block). f64 runs
+            # have no such floor — a stall cut there fires MID-convergence
+            # on slowly-separating degenerate clusters and hands the
+            # refine a half-converged block (round 5: config5's 8pi^2
+            # triple collapsed in the RR for exactly this reason).
             stall_window=scfg.get(
-                "stall_window", 15 if want_refine else 0
+                "stall_window",
+                15 if (want_refine and dtype == jnp.float32) else 0,
             ),
+            stage_polish=stage_polish,
         )
+        if stage_polish is not None:
+            # stages are already refined to full_tol — the generic
+            # refine pass below would be redundant work
+            want_refine = False
     else:
         pcfg = cfg.get("problem", {})
         if stg.get("operator") == "stencil":
@@ -364,7 +395,18 @@ def main(argv=None):
     if want_refine and res.eigenvectors is not None:
         t0 = time.perf_counter()
         _pc = locals().get("pencil")
-        if use_stencil and (
+        if (
+            kind == "lobpcg_dist"
+            and use_stencil
+            and getattr(dp, "taps_dw", None) is not None
+        ):
+            # DISTRIBUTED on-device dw refinement (round-4 VERDICT item
+            # 7: config5's exact bench path runnable by name): the same
+            # sharded RQI the bench records, under the run's own mesh
+            from maxwell_tpu.solvers.refine_device import refine_dw_dist
+
+            ref = refine_dw_dist(dp, mesh, res.eigenvectors, tol=full_tol)
+        elif use_stencil and (
             getattr(_pc, "taps_dw", None) is not None
             or (
                 getattr(_pc, "ftaps_Kdw", None) is not None
@@ -432,7 +474,11 @@ def main(argv=None):
         print(json.dumps(h))
 
     if use_stencil:
-        n_report = getattr(pencil if kind != "lobpcg_dist" else dp, "n")
+        if kind == "lobpcg_dist":
+            # GLOBAL problem size (dp.n is the per-shard local size)
+            n_report = getattr(dp, "n_full", None) or dp.n
+        else:
+            n_report = pencil.n
     else:
         n_report = problem.n_edges
     report = {

@@ -84,6 +84,7 @@ def lobpcg_dist(
     stall_window: int = 0,
     return_device: bool = False,
     lock: bool = True,
+    stage_polish=None,
 ) -> EigenResult:
     """Distributed LOBPCG over a 1-D row mesh. Returns a host EigenResult
     with gathered eigenvectors. checkpoint: resume/save the Ritz block
@@ -111,13 +112,21 @@ def lobpcg_dist(
     return_device: keep the eigenvector block ON DEVICE — eigenvectors is
     the sharded (D*n_loc_pad, nev) jax.Array in the STACKED layout, the
     zero-transfer handoff format of refine_dw_dist (round-4 VERDICT
-    item 1). Ignored by the staged `batch` path."""
+    item 1). Ignored by the staged `batch` path.
+    stage_polish: optional EigenResult -> EigenResult hook applied to
+    EACH stage's converged block before it joins the deflation basis
+    (staged runs only). Deflation quality equals the basis block's
+    residual, and an f32-floor stage (~1e-5) seeds duplicate eigenpairs
+    that grow ~2x per iteration under the preconditioner — polishing
+    each stage to ~1e-12 (e.g. refine_dw_dist) removes that failure
+    mode entirely (round 5)."""
     if batch is not None and batch < nev:
         return _lobpcg_dist_staged(
             dpencil, mesh, nev=nev, batch=batch, m=m, maxiter=maxiter,
             tol=tol, key=key, precond_alpha=precond_alpha,
             precond_iters=precond_iters, precond=precond,
             deflate_Q=deflate_Q, stall_window=stall_window,
+            stage_polish=stage_polish,
         )
     if m is None:
         m = nev + max(4, nev // 2)
@@ -243,7 +252,7 @@ def _lobpcg_dist_mapped(
 
 def _lobpcg_dist_staged(
     dpencil, mesh, nev, batch, m, maxiter, tol, key, precond_alpha,
-    precond_iters, precond, deflate_Q, stall_window=0,
+    precond_iters, precond, deflate_Q, stall_window=0, stage_polish=None,
 ):
     """Incremental deflated multi-eigenpair solve (SURVEY.md §3.3 "lock
     converged columns"; BASELINE.json:11 "deflated 20-eigenpair solve").
@@ -269,6 +278,8 @@ def _lobpcg_dist_staged(
             precond_alpha=precond_alpha, precond_iters=precond_iters,
             precond=precond, deflate_Q=Q, stall_window=stall_window,
         )
+        if stage_polish is not None:
+            res = stage_polish(res)
         vals.append(res.eigenvalues)
         vecs.append(res.eigenvectors)
         resids.append(res.residuals)

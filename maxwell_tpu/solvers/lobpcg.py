@@ -225,8 +225,31 @@ def lobpcg_run(
 
         _, res_new = residuals(KX_new, MX_new, theta_new, X_new)
         if lock_tol > 0.0:
+            ready = res_new <= lock_tol
+            # CLUSTER-AWARE gate: within a degenerate cluster the RR
+            # basis rotates freely between iterations, so pinning ONE
+            # member while its siblings keep taking fresh Ritz vectors
+            # destroys their mutual M-orthogonality (measured round 5:
+            # the 6-fold 59.36 cluster of config5 collapsed to rank
+            # deficiency). Locking a WHOLE cluster at once is sound: the
+            # pinned set spans the same eigenspace RR would return, and
+            # Ritz vectors of other eigenvalues are M-orthogonal to that
+            # subspace regardless of the intra-cluster basis choice.
+            th_scale = jnp.maximum(
+                jnp.max(jnp.abs(theta_new)), 1e-30
+            )
+            close = (
+                jnp.abs(theta_new[:, None] - theta_new[None, :])
+                <= 1e-3 * th_scale
+            )
+            cluster_ok = jnp.logical_not(
+                jnp.any(
+                    jnp.logical_and(close, ~ready[:, None]), axis=0
+                )
+            )
             newly = jnp.logical_and(
-                res_new <= lock_tol, jnp.arange(m) < nev
+                jnp.logical_and(ready, cluster_ok),
+                jnp.arange(m) < nev,
             )
             if Qlock is not None:
                 # a column drifting onto a hard-deflated eigenpair has a

@@ -215,6 +215,35 @@ def _final_residual(pencil, Xh, Xl):
     return th, tl, res
 
 
+def _robust_geig(A, B):
+    """Generalized eigh of the (m, m) RR pencil, robust to a
+    rank-deficient B: columns of the refined block that COLLAPSED onto a
+    common eigenvector (possible for tight degenerate clusters or
+    duplicated inputs) make B singular and plain scipy eigh raises.
+    Fallback: SVQB-style whitening against B's well-conditioned
+    eigenspace; collapsed directions are dropped and reported via
+    n_dropped so the caller can mark those columns unconverged (their
+    rotated columns are zero — a zero vector must NOT read as residual
+    0)."""
+    import scipy.linalg
+
+    try:
+        th, C = scipy.linalg.eigh(A, B)
+        return th, C, 0
+    except np.linalg.LinAlgError:
+        lam, V = scipy.linalg.eigh(B)
+        keep = lam > 1e-10 * max(lam.max(), 1e-300)
+        T = V[:, keep] / np.sqrt(lam[keep])[None, :]
+        th, C = scipy.linalg.eigh(T.T @ A @ T)
+        Cf = T @ C
+        m = A.shape[0]
+        n_drop = m - Cf.shape[1]
+        if n_drop:
+            Cf = np.pad(Cf, ((0, 0), (0, n_drop)))
+            th = np.concatenate([th, np.full(n_drop, np.nan)])
+        return th, Cf, n_drop
+
+
 @jax.jit
 def _rotate_final(pencil, Xh, Xl, Ch, Cl):
     """RR rotation + fresh dw residual in ONE dispatch (each dispatch
@@ -416,15 +445,17 @@ def refine_dw_dist(
     Ah, Al, Bh, Bl = grams(dpencil, Xh, Xl)
     A = tf.dw_to_f64(np.asarray(Ah), np.asarray(Al))
     B = tf.dw_to_f64(np.asarray(Bh), np.asarray(Bl))
-    import scipy.linalg
-
-    theta64, C = scipy.linalg.eigh(0.5 * (A + A.T), 0.5 * (B + B.T))
+    theta64, C, n_drop = _robust_geig(
+        0.5 * (A + A.T), 0.5 * (B + B.T)
+    )
     Ch, Cl = tf.dw_from_f64(C)
     Xh, Xl, th, tl, res = rotate_final(
         dpencil, Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl)
     )
     theta = tf.dw_to_f64(np.asarray(th), np.asarray(tl))
-    res = np.asarray(res)
+    res = np.array(np.asarray(res))
+    if n_drop:
+        res[-n_drop:] = np.inf  # zeroed collapsed columns: unconverged
     hist.append({"iter": len(hist), "max_rel_res": float(res.max())})
     if return_device:
         vecs = (Xh, Xl)
@@ -531,9 +562,7 @@ def refine_dw(
     Ah, Al, Bh, Bl = _grams(pencil, Xh, Xl)
     A = tf.dw_to_f64(np.asarray(Ah), np.asarray(Al))
     B = tf.dw_to_f64(np.asarray(Bh), np.asarray(Bl))
-    import scipy.linalg
-
-    theta64, C = scipy.linalg.eigh(
+    theta64, C, n_drop = _robust_geig(
         0.5 * (A + A.T), 0.5 * (B + B.T)
     )
     Ch, Cl = tf.dw_from_f64(C)
@@ -541,7 +570,9 @@ def refine_dw(
         pencil, Xh, Xl, jnp.asarray(Ch), jnp.asarray(Cl)
     )
     theta = tf.dw_to_f64(np.asarray(th), np.asarray(tl))
-    res = np.asarray(res)
+    res = np.array(np.asarray(res))
+    if n_drop:
+        res[-n_drop:] = np.inf  # zeroed collapsed columns: unconverged
     hist.append({"iter": len(hist), "max_rel_res": float(res.max())})
     if return_device:
         Xout = (Xh, Xl)
