@@ -148,6 +148,16 @@ def main():
     # had traced its own deep graphs)
     sys.setrecursionlimit(100_000)
 
+    # the 48^3 banded-kernel X windows allocate ~80 MB of scoped VMEM
+    # inside the fused solver program; the default scoped limit (16 MB)
+    # rejects the compile. The axon terminal forwards client LIBTPU
+    # args per-compile (round 5).
+    import os
+
+    os.environ.setdefault(
+        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=98304"
+    )
+
     import jax
 
     try:
@@ -337,11 +347,14 @@ def main():
             except Exception as e:  # pragma: no cover
                 details["pallas_bellunion_error"] = repr(e)[:300]
 
-            # banded evidence at an X the full-VMEM kernel REFUSES
+            # banded path at m=96 (round 5: the lane-padded VMEM model
+            # showed m<=128 widths all cost n*128*4 resident bytes, so
+            # the genuine full-kernel refusal case is large n — the 48^3
+            # row below — not large m; this row keeps the banded kernel
+            # measured at solver-basis width)
             try:
                 m_big = 96
-                assert (AU.n_padded * m_big * 4) > _VMEM_X_BUDGET
-                log("bellunion banded (X > VMEM)...")
+                log("bellunion banded m=96...")
                 AB = AU.banded(m=m_big, budget_bytes=10 * 1024 * 1024)
                 XB = jax.random.normal(
                     key, (AU.n_padded, m_big), jnp.float32
@@ -452,18 +465,31 @@ def main():
             # the cheap direction of the axon tunnel (~1 GB/s).
             try:
                 if cav48 is not None:
-                    log("bellunion 48^3 SpMM...")
+                    log("bellunion 48^3 SpMM (banded, b3)...")
+                    # full-X is IMPOSSIBLE here: resident X costs
+                    # n*128*4 = 163 MB of VMEM (lane padding) vs the
+                    # chip's 128 MB — the banded windowed kernel is the
+                    # production path at this size
+                    from maxwell_tpu.kernels.spmm import (
+                        bellunion_matmat_banded as _bmb,
+                    )
+
                     AU48 = BELLUnion.from_csr(
                         cav48.K, block=8, dtype=jnp.float32
-                    ).bf16x3()
+                    )
+                    AB48 = AU48.banded(
+                        m=m, budget_bytes=3 * 1024 * 1024,
+                        split_bf16=True,
+                    )
+                    np48 = AU48.n_padded
                     X48 = jax.random.normal(
-                        key, (AU48.n_padded, m), jnp.float32
+                        key, (np48, m), jnp.float32
                     )
                     t48 = _median3(lambda: _timeit_retry_args(
-                        lambda Y, A_: bellunion_matmat_pallas(
+                        lambda Y, A_: _bmb(
                             A_, Y, precision="b3"
-                        ),
-                        X48, args=(AU48,), iters=4,
+                        )[:np48],
+                        X48, args=(AB48,), iters=4,
                     ))
                     nnz48 = int(cav48.K.nnz)
                     b48 = (
@@ -483,7 +509,7 @@ def main():
                         f"{100*roof48/t48:.1f}% of own roofline "
                         f"{nnz48/t48/1e9:.2f} Gnnz/s"
                     )
-                    del AU48, X48
+                    del AU48, AB48, X48
             except Exception as e:  # pragma: no cover
                 details["pallas_bellunion_48_error"] = repr(e)[:300]
         except Exception as e:  # pragma: no cover - backend dependent

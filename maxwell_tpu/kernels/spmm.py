@@ -33,9 +33,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
 
-# X larger than this falls back to the XLA einsum path (VMEM is ~16 MB/core;
-# leave room for the value tile double-buffer and the output tile).
+# X larger than this falls back to the XLA einsum path / banded split.
+# LEGACY raw-bytes knob, kept as the window budget for banded builders.
 _VMEM_X_BUDGET = 12 * 1024 * 1024
+
+# The REAL resident-X constraint (round 5, measured from a compile
+# failure at 48^3): VMEM stores f32 arrays in (8, 128) tiles, so an
+# (n, m) X with m <= 128 occupies n*128*4 bytes REGARDLESS of m — the
+# old raw-bytes check both rejected workable widths (m=96 at 24^3,
+# 21 MB padded) and admitted impossible ones (m=8 at 48^3: 10 MB raw
+# but 163 MB padded vs the chip's 128 MB VMEM). Budget leaves room for
+# the streamed value tiles (double-buffered) and output blocks.
+_VMEM_X_LANE_BUDGET = 96 * 1024 * 1024
+
+
+def x_resident_vmem_bytes(rows: int, m: int) -> int:
+    """VMEM bytes of an (rows, m) f32 array resident in a kernel."""
+    lanes = max(128, ((m + 127) // 128) * 128)
+    return rows * lanes * 4
+
+
+def x_fits_vmem(rows: int, m: int) -> bool:
+    return x_resident_vmem_bytes(rows, m) <= _VMEM_X_LANE_BUDGET
 
 
 def _spmm_kernel(cols_ref, blocks_ref, x_ref, o_ref, *, R, S, b, m):
@@ -297,7 +316,7 @@ def bellunion_matmat_pallas(
     vals = A.vals if stream == "a" else A.vals_b
     if vals is None:
         raise ValueError(f"value stream {stream!r} not present")
-    if X.dtype != jnp.float32 or X.shape[0] * m * 4 > _VMEM_X_BUDGET:
+    if X.dtype != jnp.float32 or not x_fits_vmem(X.shape[0], m):
         raise ValueError("bellunion kernel needs f32 X within VMEM budget")
     Xp = X
     need = A.n_cols_padded  # == n_padded for square layouts
@@ -460,7 +479,7 @@ def bellunion_km_matmat_pallas(
     n_pad, m = A.n_padded, X.shape[1]
     b, cl = A.b, A.cl
     CG = cl // b
-    if X.dtype != jnp.float32 or X.shape[0] * m * 4 > _VMEM_X_BUDGET:
+    if X.dtype != jnp.float32 or not x_fits_vmem(X.shape[0], m):
         raise ValueError("bellunion km kernel needs f32 X within VMEM")
     Xp = X
     need = A.n_cols_padded
@@ -543,19 +562,26 @@ def bellunion_km_matmat_pallas(
     )(A.tile_of, A.first, A.ucols, A.vals, A.vals_b, Xp)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "stream"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "stream", "precision")
+)
 def bellunion_matmat_banded(
-    AB, X: jax.Array, interpret: bool = False, stream: str = "a"
+    AB, X: jax.Array, interpret: bool = False, stream: str = "a",
+    precision: str = "highest",
 ):
     """Y = A @ X for a BandedBELLUnion — X of ANY size (each band's kernel
-    sees only its contiguous X window)."""
+    sees only its contiguous X window). precision="b3" needs bands built
+    with split_bf16=True (BELLUnion.banded)."""
     maxw = max(AB.col_rows)
     Xp = jnp.pad(X, ((0, maxw), (0, 0)))
     outs = []
     for bp, cs, rows in zip(AB.bands, AB.col_starts, AB.col_rows):
         xw = jax.lax.slice(Xp, (cs, 0), (cs + rows, X.shape[1]))
         outs.append(
-            bellunion_matmat_pallas(bp, xw, interpret=interpret, stream=stream)
+            bellunion_matmat_pallas(
+                bp, xw, interpret=interpret, stream=stream,
+                precision=precision,
+            )
         )
     return jnp.concatenate(outs, axis=0)
 

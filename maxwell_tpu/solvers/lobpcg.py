@@ -451,7 +451,14 @@ def lobpcg(
         X0 = X0.at[n:].set(0.0)
     X0 = pencil.project(X0)
 
-    if precond is not None:
+    if precond is not None and not isinstance(
+        precond, jax.tree_util.Partial
+    ):
+        # wrap ONLY plain callables: jax.tree_util.Partial of an
+        # already-Partial demotes the inner bound args (the pencil's
+        # ARRAYS) to static aux — they then lower as HLO CONSTANTS
+        # (measured: 4.83 GB of constants at 48^3, and the round-4
+        # HTTP-413 remote-compile failures trace to the same wrap)
         precond = jax.tree_util.Partial(precond)
 
     Qlock = MQlock = None

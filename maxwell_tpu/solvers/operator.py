@@ -131,9 +131,11 @@ class Pencil:
 
     # --- applies (padded in, padded out) ----------------------------------
     def _bell_fits_vmem(self, m: int) -> bool:
-        from maxwell_tpu.kernels.spmm import _VMEM_X_BUDGET
+        # lane-padded model (round 5): an (n, m<=128) f32 X costs
+        # n*128*4 VMEM bytes regardless of m (kernels/spmm.x_fits_vmem)
+        from maxwell_tpu.kernels.spmm import x_fits_vmem
 
-        return (self.n_padded + self.K.b) * m * 4 <= _VMEM_X_BUDGET
+        return x_fits_vmem(self.n_padded + self.K.b, m)
 
     def _bell_mm(self, X: jax.Array, stream: str) -> jax.Array:
         if self.kernel == "union":
@@ -157,7 +159,13 @@ class Pencil:
             else:
                 Y = full(self.K, Xl, stream=stream)
         elif self.Kbanded is not None:
-            Y = banded(self.Kbanded, Xl, stream=stream)
+            if self.kernel == "union":
+                Y = banded(
+                    self.Kbanded, Xl, stream=stream,
+                    precision=self.precision,
+                )
+            else:
+                Y = banded(self.Kbanded, Xl, stream=stream)
         else:
             raise ValueError(
                 "X exceeds the VMEM budget and no banded split was built "
@@ -276,26 +284,49 @@ class Pencil:
             block = 8 if kernel in ("pallas", "bellpairs", "union") else 4
         Kbanded = None
         if kernel in ("bellpairs", "union"):
-            from maxwell_tpu.kernels.spmm import _VMEM_X_BUDGET
+            from maxwell_tpu.kernels.spmm import (
+                _VMEM_X_BUDGET,
+                _VMEM_X_LANE_BUDGET,
+                x_fits_vmem,
+            )
 
             if kernel == "union":
                 from maxwell_tpu.sparse.bellunion import BELLUnion as _Layout
+
+                # HOST-FIRST build: the banded split below slices the
+                # value arrays on the host — building on device first
+                # forced a device->host fetch of the full streams
+                # (measured 531 s for 4.8 GB over the ~2 MB/s axon
+                # download direction at 48^3); host-first, the values
+                # cross the tunnel once, in the fast upload direction
+                K = _Layout.from_csr(
+                    problem.K, block=block, dtype=dtype, B=problem.M,
+                    to_device=False,
+                )
             else:
                 from maxwell_tpu.sparse.bellpairs import BELLPairs as _Layout
 
-            K = _Layout.from_csr(
-                problem.K, block=block, dtype=dtype, B=problem.M
-            )
+                K = _Layout.from_csr(
+                    problem.K, block=block, dtype=dtype, B=problem.M
+                )
+            from maxwell_tpu.kernels.spmm import x_fits_vmem as _xfits
+
             if precision == "auto":
                 # PRODUCTION f32 union mode: bf16x3 split streams
-                # (round 5; see the `precision` field note)
+                # (round 5; see the `precision` field note). Banded-routed
+                # sizes (full X beyond the lane-padded VMEM budget) stay
+                # "highest": carrying f32 + bf16 splits for BOTH the full
+                # streams and the band copies exceeds HBM at 48^3
+                # (measured OOM at ~19 GB of value storage).
                 precision = (
                     "b3"
-                    if kernel == "union" and dtype == jnp.float32
+                    if kernel == "union"
+                    and dtype == jnp.float32
+                    and _xfits(K.n_padded + block, 8)
                     else "highest"
                 )
             if precision == "b3" and kernel == "union":
-                K = K.bf16x3()
+                K = K.bf16x3()  # host-side split (ml_dtypes)
             M = None
             # band split sized for the LARGEST width the solvers can
             # request (LOBPCG's [X, W, P] basis is 3*m_block, <= max_m),
@@ -303,15 +334,18 @@ class Pencil:
             # a width between 32 and max_m must never hit the "no banded
             # split" runtime error (round-2 advisor finding, medium).
             # Duplicates value storage; only built if needed.
-            if (K.n_padded + block) * max_m * 4 > _VMEM_X_BUDGET:
-                # window budget tied to the kernel's X budget so every
-                # band's window passes the kernel-side VMEM check
+            if not x_fits_vmem(K.n_padded + block, max_m):
+                # window budget in the builder's raw-bytes terms, derived
+                # from the REAL lane-padded constraint: window rows cap =
+                # lane budget / (128 lanes * 4 B), with 5/6 headroom
+                rows_cap = _VMEM_X_LANE_BUDGET // (128 * 4) * 5 // 6
                 Kbanded = K.banded(
                     m=max_m,
-                    budget_bytes=min(
-                        10 * 1024 * 1024, _VMEM_X_BUDGET * 5 // 6
-                    ),
+                    budget_bytes=rows_cap * max_m * 4,
+                    split_bf16=(precision == "b3" and kernel == "union"),
                 )
+            if kernel == "union":
+                K = K.to_device()
         else:
             align = None if kernel == "pallas" else 4
             K = BSRMatrix.from_csr(

@@ -265,13 +265,24 @@ class BELLUnion:
 
     def bf16x3(self) -> "BELLUnion":
         """Return a copy carrying the bf16 hi/lo split of each value
-        stream (see vals_h field note). One elementwise device pass per
-        stream, done once at build/ship time."""
+        stream (see vals_h field note). One elementwise pass per stream,
+        done once at build/ship time — on whichever side the values
+        live (ml_dtypes for host numpy builds; device-resident arrays
+        split on device: downloading them first costs minutes over the
+        ~2 MB/s axon fetch direction)."""
         import dataclasses as _dc
 
         def split(v):
             if v is None:
                 return None, None
+            if isinstance(v, np.ndarray):
+                import ml_dtypes
+
+                vh = v.astype(ml_dtypes.bfloat16)
+                vl = (v - vh.astype(np.float32)).astype(
+                    ml_dtypes.bfloat16
+                )
+                return vh, vl
             vh = v.astype(jnp.bfloat16)
             vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
             return vh, vl
@@ -280,6 +291,28 @@ class BELLUnion:
         bh, bl = split(self.vals_b)
         return _dc.replace(
             self, vals_h=vh, vals_l=vl, vals_b_h=bh, vals_b_l=bl
+        )
+
+    def to_device(self) -> "BELLUnion":
+        """Move any host-numpy leaves to the default backend (no-op for
+        already-device arrays). Host-first builds (to_device=False) use
+        this after host-side processing (banded splits, bf16x3) so the
+        big value arrays cross the tunnel exactly once, in the FAST
+        (upload) direction."""
+        import dataclasses as _dc
+
+        def mv(v):
+            if v is None or not isinstance(v, np.ndarray):
+                return v
+            return _to_jax(v)
+
+        return _dc.replace(
+            self,
+            vals=mv(self.vals), ucols=mv(self.ucols),
+            tile_of=mv(self.tile_of), first=mv(self.first),
+            vals_b=mv(self.vals_b),
+            vals_h=mv(self.vals_h), vals_l=mv(self.vals_l),
+            vals_b_h=mv(self.vals_b_h), vals_b_l=mv(self.vals_b_l),
         )
 
     @property
@@ -565,9 +598,12 @@ class BELLUnion:
         return out[: self.n, :nc].tocsr()
 
     # ------------------------------------------------------------------
-    def banded(self, m: int, budget_bytes: int = 10 * 1024 * 1024):
+    def banded(self, m: int, budget_bytes: int = 10 * 1024 * 1024,
+               split_bf16: bool = False):
         """Row-band split whose contiguous X windows fit the VMEM budget
-        at block width m (same plan as BELLPairs.banded — VERDICT item 2)."""
+        at block width m (same plan as BELLPairs.banded — VERDICT item 2).
+        split_bf16: give each band the bf16x3 split streams (the b3
+        production kernel; see the vals_h field note)."""
         if self.n_cols is not None:
             raise ValueError("banded() supports square layouts only")
         b = self.b
@@ -627,6 +663,8 @@ class BELLUnion:
                 cl=self.cl,
                 pack=self.pack,
             )
+            if split_bf16:
+                sub = sub.bf16x3()
             bands.append((sub, int(c0) * b, int(c1 - c0) * b))
             t0 = t1
         return BandedBELLUnion(

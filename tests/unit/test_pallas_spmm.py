@@ -280,7 +280,9 @@ def test_pencil_union_wide_m_routes_to_banded(monkeypatch):
 
     from maxwell_tpu.sparse.reorder import PermutedProblem
 
-    monkeypatch.setattr(spmm, "_VMEM_X_BUDGET", 384 * 1024)
+    # round 5: routing is governed by the LANE-PADDED budget (an
+    # (n, m<=128) X costs n*128*4 VMEM bytes regardless of m)
+    monkeypatch.setattr(spmm, "_VMEM_X_LANE_BUDGET", 512 * 1024)
     cav = PermutedProblem(BrickCavity3D(nx=8, ny=8, nz=8))
     pen = Pencil.from_problem(cav, kernel="union", dtype=jnp.float32)
     assert pen.Kbanded is not None
