@@ -230,7 +230,7 @@ def main():
             details["union_build_error"] = repr(e)[:400]
             cav48 = None
 
-    # ---- 1. HBM copy roofline -------------------------------------------
+    # ---- 1. HBM rooflines ------------------------------------------------
     # median of three spaced probes: single-shot bw on this chip varies
     # ~±15% session to session (clock/thermal state over the axon
     # tunnel), which previously wobbled every %-of-roofline row
@@ -253,6 +253,35 @@ def main():
     details["hbm_copy_GBps"] = bw / 1e9
     details["hbm_copy_GBps_probes"] = [b / 1e9 for b in bws]
 
+    # READ bandwidth (round 5): the copy probe charges reads AND the
+    # write-back; a ~97%-read path (the union kernel streams 246 MB of
+    # values and writes ~1 MB of Y) can stream faster than the copy
+    # number — the b3 kernel measured 110% of a copy-bw roofline. The
+    # read probe is a full-array reduction with a loop-carried
+    # dependence (sum(big + y): the broadcast add fuses into the
+    # reduction, so each pass reads `big` once and writes one scalar).
+    # Rooflines below charge reads at bw_r and writes at bw_w, where
+    # bw_w solves 1/bw_copy_pair = 1/bw_r + 1/bw_w from the copy probe.
+    y0 = jnp.zeros((1,), jnp.float32)
+    reads = []
+    for _ in range(3 if on_tpu else 1):
+        t = _timeit_chain(
+            lambda y, B: jnp.sum(B + y)[None], y0, iters=60, args=(big,)
+        )
+        reads.append(nbytes / t)
+    valid_r = [b for b in reads if 0 < b <= 850e9] or reads
+    bw_r = float(np.median(valid_r))
+    bw_r = max(bw_r, bw / 2 * 1.001)  # copy implies reads >= bw/2
+    # copy moves nbytes each way in t_copy = 2*nbytes/bw:
+    #   t_copy = nbytes/bw_r + nbytes/bw_w  =>  1/bw_w = 2/bw - 1/bw_r
+    bw_w = 1.0 / max(2.0 / bw - 1.0 / bw_r, 1e-15)
+    details["hbm_read_GBps"] = bw_r / 1e9
+    details["hbm_write_GBps_derived"] = bw_w / 1e9
+    log(
+        f"  hbm: copy {bw/1e9:.0f} GB/s, read {bw_r/1e9:.0f} GB/s, "
+        f"write(derived) {bw_w/1e9:.0f} GB/s"
+    )
+
     # ---- 2. operator-apply paths, each vs ITS OWN traffic ----------------
     from maxwell_tpu.problems import BrickCavity3D
     from maxwell_tpu.sparse.bsr import BSRMatrix, bsr_matmat_ref
@@ -267,11 +296,17 @@ def main():
     details["nnz_csr"] = nnz
     paths = {}
 
-    def record(name, t, bytes_own):
-        roof = bytes_own / bw
+    def record(name, t, bytes_read, bytes_write):
+        """Roofline with reads and writes charged at their OWN measured
+        rates (round 5): a copy-bw denominator under-bounds read-heavy
+        paths — the b3 union kernel measured 110% of a copy-bw roofline
+        while sitting at ~85% of the read-rate-aware bound."""
+        roof = bytes_read / bw_r + bytes_write / bw_w
         paths[name] = {
             "time_s": t,
-            "bytes_own": int(bytes_own),
+            "bytes_own": int(bytes_read + bytes_write),
+            "bytes_read": int(bytes_read),
+            "bytes_write": int(bytes_write),
             "roofline_s": roof,
             "pct_of_own_roofline": 100.0 * roof / t,
             "nnz_per_s": nnz / t,
@@ -286,7 +321,8 @@ def main():
     t_ref = _timeit_chain(lambda Y: bsr_matmat_ref(A4, Y), X4)
     record(
         "einsum_ref_b4", t_ref,
-        A4.blocks.size * 4 + A4.cols.size * 4 + 2 * A4.n_padded * m * 4,
+        A4.blocks.size * 4 + A4.cols.size * 4 + A4.n_padded * m * 4,
+        A4.n_padded * m * 4,
     )
 
     # 2b. BELLUnion production kernel (+ banded split where full-X refuses)
@@ -325,7 +361,8 @@ def main():
                 record(
                     "pallas_bellunion", t_un,
                     AU.nnz_dense * 4 + AU.ucols.size * 4
-                    + 2 * AU.n_padded * m * 4,
+                    + AU.n_padded * m * 4,
+                    AU.n_padded * m * 4,
                 )
                 details["spmm_time_pallas_s"] = t_un
                 details["roofline_time_s"] = paths["pallas_bellunion"][
@@ -342,7 +379,8 @@ def main():
                 record(
                     "pallas_bellunion_f32hi", t_hi,
                     AU.nnz_dense * 4 + AU.ucols.size * 4
-                    + 2 * AU.n_padded * m * 4,
+                    + AU.n_padded * m * 4,
+                    AU.n_padded * m * 4,
                 )
             except Exception as e:  # pragma: no cover
                 details["pallas_bellunion_error"] = repr(e)[:300]
@@ -367,7 +405,8 @@ def main():
                 )
                 record(
                     "pallas_bellunion_banded_m96", t_band,
-                    AB.nnz_dense * 4 + 2 * AU.n_padded * m_big * 4,
+                    AB.nnz_dense * 4 + AU.n_padded * m_big * 4,
+                    AU.n_padded * m_big * 4,
                 )
                 details["banded_n_bands"] = len(AB.bands)
                 details["banded_x_bytes"] = int(AU.n_padded * m_big * 4)
@@ -383,14 +422,17 @@ def main():
 
                 log("spmv m=1...")
                 x1v = jax.random.normal(key, (AU.n_padded,), jnp.float32)
-                t_mv = _timeit_retry_args(
-                    lambda y, A_: bellunion_matvec_pallas(A_, y), x1v,
-                    args=(AU,),
-                )
+                t_mv = _median3(lambda: _timeit_retry_args(
+                    lambda y, A_: bellunion_matvec_pallas(
+                        A_, y, precision="b3"
+                    ),
+                    x1v, args=(AU,),
+                ))
                 record(
                     "spmv_m1", t_mv,
                     AU.nnz_dense * 4 + AU.ucols.size * 4
-                    + 2 * AU.n_padded * 4,
+                    + AU.n_padded * 4,
+                    AU.n_padded * 4,
                 )
             except Exception as e:  # pragma: no cover
                 details["spmv_m1_error"] = repr(e)[:300]
@@ -415,7 +457,8 @@ def main():
                 record(
                     "pallas_bellunion_km", t_km,
                     2 * AU2.nnz_dense * 4 + AU2.ucols.size * 4
-                    + 3 * AU2.n_padded * m * 4,
+                    + AU2.n_padded * m * 4,
+                    2 * AU2.n_padded * m * 4,
                 )
                 if t_un:
                     details["km_fused_vs_2x_single_pct"] = (
@@ -448,7 +491,8 @@ def main():
                 record(
                     "dist_union_mesh1", t_d1,
                     dp1.Ui_vals.size * 4 + dp1.Ui_ucols.size * 4
-                    + 2 * dp1.D * dp1.L * dp1.b * m * 4,
+                    + dp1.D * dp1.L * dp1.b * m * 4,
+                    dp1.D * dp1.L * dp1.b * m * 4,
                 )
                 if t_un:
                     details["dist_union_vs_single_pct"] = (
@@ -492,14 +536,17 @@ def main():
                         X48, args=(AB48,), iters=4,
                     ))
                     nnz48 = int(cav48.K.nnz)
-                    b48 = (
+                    b48r = (
                         AU48.nnz_dense * 4 + AU48.ucols.size * 4
-                        + 2 * AU48.n_padded * m * 4
+                        + AU48.n_padded * m * 4
                     )
-                    roof48 = b48 / bw
+                    b48w = AU48.n_padded * m * 4
+                    roof48 = b48r / bw_r + b48w / bw_w
                     paths["pallas_bellunion_48"] = {
                         "time_s": t48,
-                        "bytes_own": int(b48),
+                        "bytes_own": int(b48r + b48w),
+                        "bytes_read": int(b48r),
+                        "bytes_write": int(b48w),
                         "roofline_s": roof48,
                         "pct_of_own_roofline": 100.0 * roof48 / t48,
                         "nnz_per_s": nnz48 / t48,
@@ -525,7 +572,10 @@ def main():
         Xs = jax.random.normal(key, (stp.n_padded, m), jnp.float32)
         t_st = _timeit_chain(lambda Y: stp.K_mm(Y), Xs)
         # own traffic: fields in + out (coefficients are O(1) taps)
-        record("stencil_taps", t_st, 2 * stp.n_padded * m * 4)
+        record(
+            "stencil_taps", t_st, stp.n_padded * m * 4,
+            stp.n_padded * m * 4,
+        )
         details["stencil_time_s"] = t_st
 
         g_l = 64 if on_tpu else 16
@@ -535,7 +585,7 @@ def main():
         Xl = jax.random.normal(key, (stl.n_padded, m), jnp.float32)
         t_stl = _timeit_chain(lambda Y: stl.K_mm(Y), Xl, iters=12)
         nnz_l = nnz * (g_l / grid) ** 3  # nnz scales with cells
-        roof_l = 2 * stl.n_padded * m * 4 / bw
+        roof_l = stl.n_padded * m * 4 / bw_r + stl.n_padded * m * 4 / bw_w
         paths[f"stencil_taps_{g_l}"] = {
             "time_s": t_stl,
             "bytes_own": int(2 * stl.n_padded * m * 4),

@@ -898,7 +898,8 @@ def bsr_matvec_pallas(A: BSRMatrix, x: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("interpret", "stream"))
 def bellunion_matvec_pallas(
-    A, x: jax.Array, interpret: bool = False, stream: str = "a"
+    A, x: jax.Array, interpret: bool = False, stream: str = "a",
+    precision: str = "highest",
 ) -> jax.Array:
     """y = A @ x — the SpMV entry point on the production layout (round-2
     VERDICT item 6).
@@ -910,6 +911,6 @@ def bellunion_matvec_pallas(
     the widening forfeits ~11% of the m=1 roofline — measured against its
     OWN m=1 roofline in bench.py (spmv_m1)."""
     X = jnp.zeros((A.n_cols_padded, 8), jnp.float32).at[: x.shape[0], 0].set(x)
-    return bellunion_matmat_pallas(A, X, interpret=interpret, stream=stream)[
-        :, 0
-    ]
+    return bellunion_matmat_pallas(
+        A, X, interpret=interpret, stream=stream, precision=precision
+    )[:, 0]
